@@ -1,0 +1,236 @@
+"""Typed configuration system.
+
+Mirrors every reference CLI flag and hardcoded constant
+(ref:train.py:96-121 flags; ref:train.py:51-74,147-148,171 constants)
+as dataclass fields with CLI overrides. One config tree per entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+@dataclass
+class DataConfig:
+    """Dataset + transform pipeline config (ref:train.py:51-74,146-148)."""
+
+    data_path: str = "./BreaDM"
+    # BreaDM DCE-MRI sequence selection (ref:my_dataset.py:31-35).
+    use_subtraction: bool = False
+    sequence_types: Optional[Sequence[str]] = None
+    use_pk_maps: bool = False
+    # Transform presets (ref:train.py:51-74).
+    base_size: int = 256
+    crop_size: int = 224
+    hflip_prob: float = 0.5
+    vflip_prob: float = 0.5
+    rotate_degrees: float = 30.0
+    rotate_prob: float = 0.5
+    # Dataset statistics computed offline (ref:train.py:146-148).
+    mean: float = 0.709
+    std: float = 0.127
+    # Loader behavior.
+    shuffle_buffer: int = 2048
+    prefetch: int = 2
+    # Deliberate divergence from the reference (ref:my_dataset.py:173-179):
+    # the reference re-rolls the random transform per temporal frame; we use
+    # one shared draw across all T frames of a sample (see SURVEY.md §7).
+    shared_frame_augmentation: bool = True
+
+    @property
+    def resolved_sequence_types(self) -> Sequence[str]:
+        if self.sequence_types is not None:
+            return tuple(self.sequence_types)
+        if self.use_subtraction:
+            return tuple(f"SUB{i}" for i in range(1, 9))
+        return tuple(f"VIBRANT+C{i}" for i in range(1, 9))
+
+
+@dataclass
+class ModelConfig:
+    """Model family selection (ref:train.py:76-92)."""
+
+    model: str = "stflstm"  # {"stflstm", "unet"}
+    # `--num-classes` is foreground classes; +1 background applied by the
+    # trainer exactly like ref:train.py:144.
+    num_classes: int = 1
+    in_channels: int = 1
+    time_steps: int = 8
+    base_c: int = 64  # vanilla UNet width (ref:src/unet.py:7)
+    use_pk_maps: bool = False
+    pk_channels: int = 3
+
+    @property
+    def total_classes(self) -> int:
+        return self.num_classes + 1
+
+
+@dataclass
+class OptimConfig:
+    """Optimizer + schedule (ref:train.py:227-247, train_and_eval.py:414-438)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    warmup: bool = True
+    warmup_epochs: int = 1
+    warmup_factor: float = 1e-3
+    poly_power: float = 0.9
+
+
+@dataclass
+class TrainConfig:
+    """Top-level training config (ref:train.py:96-121)."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+    batch_size: int = 16
+    epochs: int = 100
+    start_epoch: int = 0
+    print_freq: int = 10
+    resume: str = ""
+    save_best: bool = True
+    # bf16 compute policy is the TPU-native stand-in for --amp
+    # (ref:train.py:112-113,240-242); no loss scaling needed on TPU.
+    amp: bool = False
+    silent: bool = False
+    test_only: bool = False
+    generate_pk_maps: bool = False
+    early_stop_patience: int = 20  # ref:train.py:171
+    save_dir: str = "./save_weights"
+    output_dir: str = "./output"
+    seed: int = 0
+    # Device mesh: number of data-parallel shards; 0 = all visible devices.
+    data_parallel: int = 0
+    # Eval images have a variable long edge after short-edge resize
+    # (ref:train.py:70-74); pad to multiples of this bucket to bound
+    # recompilation. Padding uses the 255 ignore label (ref:my_dataset.py:243).
+    eval_pad_multiple: int = 32
+
+    @property
+    def tag_suffix(self) -> str:
+        return "_pk" if self.data.use_pk_maps else ""
+
+
+@dataclass
+class PKConfig:
+    """Extended-Tofts fitter config (ref:pk_fitting.py:15-26,257,290-307)."""
+
+    aif_method: str = "population"  # {"population", "modified", "auto"}
+    aif_dose: float = 0.1
+    time_points: Sequence[float] = tuple(float(i) for i in range(8))
+    dt: float = 0.01
+    # Fit hyperparameters (ref:pk_fitting.py:290-307,316).
+    init_ktrans: float = 0.05
+    init_ve: float = 0.1
+    init_vp: float = 0.01
+    lr: float = 0.005
+    num_epochs: int = 100
+    batch_size: int = 1024
+    # Physiological clamp box (ref:pk_fitting.py:303-307).
+    ktrans_bounds: Sequence[float] = (0.0, 1.0)
+    ve_bounds: Sequence[float] = (0.001, 0.5)
+    vp_bounds: Sequence[float] = (0.0, 0.2)
+    # Tissue mask threshold factor (ref:pk_fitting.py:180).
+    tissue_threshold_factor: float = 0.15
+    # Fast path: vectorized Levenberg-Marquardt instead of Adam.
+    solver: str = "lm"  # {"adam", "lm"}
+    lm_iters: int = 50
+
+
+def _parse_bool(s: str) -> bool:
+    return s.lower() in ("1", "true", "yes")
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, dc: Any, prefix: str = "") -> None:
+    for f in dataclasses.fields(dc):
+        if dataclasses.is_dataclass(f.type) or dataclasses.is_dataclass(getattr(dc, f.name, None)):
+            _add_dataclass_args(parser, getattr(dc, f.name), prefix=f"{prefix}{f.name}.")
+            continue
+        name = f"--{(prefix + f.name).replace('_', '-').replace('.', '-')}"
+        default = getattr(dc, f.name)
+        if isinstance(default, bool):
+            parser.add_argument(name, type=_parse_bool, default=None, metavar="BOOL")
+        elif isinstance(default, (int, float, str)):
+            parser.add_argument(name, type=type(default), default=None)
+        else:
+            parser.add_argument(name, type=str, default=None)
+
+
+def _apply_overrides(dc: Any, ns: argparse.Namespace, prefix: str = "") -> Any:
+    updates = {}
+    for f in dataclasses.fields(dc):
+        val = getattr(dc, f.name)
+        if dataclasses.is_dataclass(val):
+            updates[f.name] = _apply_overrides(val, ns, prefix=f"{prefix}{f.name}.")
+            continue
+        key = (prefix + f.name).replace(".", "_")
+        ov = getattr(ns, key, None)
+        if ov is not None:
+            if isinstance(val, tuple) or (val is None and isinstance(ov, str) and "," in ov):
+                ov = tuple(x.strip() for x in ov.split(","))
+            updates[f.name] = ov
+    return dataclasses.replace(dc, **updates)
+
+
+def parse_config(argv: Optional[Sequence[str]] = None,
+                 defaults: Optional[TrainConfig] = None) -> TrainConfig:
+    """Build a TrainConfig from CLI args mirroring ref:train.py:96-121.
+
+    Both spellings work: the reference's flat flags (`--batch-size`,
+    `--use-pk-maps`, ...) and dotted dataclass paths (`--data-crop-size`).
+    """
+    cfg = defaults or TrainConfig()
+    parser = argparse.ArgumentParser(description="STF-UNet TPU Training")
+    _add_dataclass_args(parser, cfg)
+    # Reference-compatible aliases (ref:train.py:96-121).
+    alias = {
+        "--model": ("model_model", str),
+        "--data-path": ("data_data_path", str),
+        "--num-classes": ("model_num_classes", int),
+        "--lr": ("optim_lr", float),
+        "--weight-decay": ("optim_weight_decay", float),
+        "--use-pk-maps": ("data_use_pk_maps", _parse_bool),
+        "--use-subtraction": ("data_use_subtraction", _parse_bool),
+    }
+    existing = {opt for a in parser._actions for opt in a.option_strings}
+    for flag, (dest, typ) in alias.items():
+        if flag not in existing:
+            parser.add_argument(flag, dest=dest, type=typ, default=None)
+    ns = parser.parse_args(argv)
+    cfg = _apply_overrides(cfg, ns)
+    # Keep the coupled flags in sync (ref wires --use-pk-maps into both the
+    # dataset and the model, ref:train.py:181,221).
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_pk_maps=cfg.data.use_pk_maps)
+    )
+    return cfg
+
+
+def config_to_json(cfg: Any) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+_NESTED = {"data": DataConfig, "model": ModelConfig, "optim": OptimConfig}
+
+
+def config_from_dict(cls, d: dict):
+    kwargs = {}
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    for name, v in d.items():
+        if name not in field_names:
+            continue
+        if isinstance(v, dict) and name in _NESTED:
+            v = config_from_dict(_NESTED[name], v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[name] = v
+    return cls(**kwargs)

@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers.
+
+The reference has no real distributed layer (only dist.all_reduce hooks,
+ref:train_utils/train_and_eval.py:51-57,125-132); this module supplies the
+first-class TPU data-parallel layer: a 1-D `Mesh(('data',))` over which the
+batch axis of inputs/targets is sharded with NamedSharding. Everything else
+(gradient reductions, BatchNorm batch statistics, metric sums) becomes a
+global computation automatically under jit/GSPMD — XLA inserts the ICI
+collectives. A 'model' axis can be added later without changing call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(n_data: int = 0, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a 1-D data-parallel mesh.
+
+    n_data=0 uses every visible device. Works identically on a real TPU
+    slice and on the CPU-simulated 8-device mesh used in CI
+    (XLA_FLAGS=--xla_force_host_platform_device_count=8).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data <= 0:
+        n_data = len(devices)
+    if n_data > len(devices):
+        raise ValueError(f"requested {n_data} data shards but only {len(devices)} devices")
+    return Mesh(np.asarray(devices[:n_data]).reshape(n_data), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host pytree of arrays with the batch axis sharded over `mesh`."""
+    def _put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to_multiple(batch_size: int, n_shards: int) -> int:
+    """Global batch must divide evenly across shards; round up."""
+    return ((batch_size + n_shards - 1) // n_shards) * n_shards

@@ -1,0 +1,159 @@
+"""Host-side data loading: decode + batch assembly + prefetch.
+
+The reference decodes with cv2 (imdecode fallback for non-ASCII paths,
+ref:my_dataset.py:151-153) inside DataLoader worker processes. Here the host
+pipeline only decodes and batches raw uint8 frames; every geometric/photometric
+transform runs on-device in one fused jitted pass (data/transforms.py) —
+the TPU-native split of work.
+
+A background thread prefetches the next batch while the device computes
+(HBM copy overlapped with compute), standing in for pin_memory/prefetch_factor
+(ref:train.py:198-205).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from stf_unet_tpu.data.index import DatasetIndex, SampleRecord
+
+PK_PARAM_NAMES = ("ktrans", "ve", "vp")  # ref:my_dataset.py:203
+
+
+def _decode_grayscale(path: str) -> np.ndarray:
+    """uint8 [H, W]. PIL decode (libjpeg/libpng) handles any path encoding,
+    covering the reference's cv2-imdecode fallback (ref:151-153)."""
+    with Image.open(path) as img:
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False
+                    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """-> (frames uint8 [T, H, W], mask uint8 [H, W] in {0,1}, pk [3, H, W]).
+
+    Mask is /255-binarized like the reference (ref:166-168). Missing or
+    unreadable PK maps zero-fill (ref:206-224).
+    """
+    frames = np.stack([_decode_grayscale(p) for p in rec.image_paths])
+    with Image.open(rec.mask_path) as m:
+        mask = (np.asarray(m.convert("L"), dtype=np.uint16) // 255).astype(np.uint8)
+
+    pk = None
+    if use_pk_maps:
+        h, w = frames.shape[1:]
+        maps = []
+        for name in PK_PARAM_NAMES:
+            path = f"{rec.pk_maps_path}/{name}.png"
+            try:
+                arr = _decode_grayscale(path)
+                if arr.shape != (h, w):
+                    arr = np.asarray(
+                        Image.fromarray(arr).resize((w, h), Image.NEAREST))
+            except Exception:
+                arr = np.zeros((h, w), dtype=np.uint8)
+            maps.append(arr)
+        pk = np.stack(maps)
+    return frames, mask, pk
+
+
+@dataclass
+class Batch:
+    """Raw uint8 host batch; device transforms consume it directly."""
+
+    frames: np.ndarray          # [B, T, H, W] uint8
+    masks: np.ndarray           # [B, H, W] uint8 {0,1} (255 = pad)
+    pk: Optional[np.ndarray]    # [B, 3, H, W] uint8 or None
+    sizes: np.ndarray           # [B, 2] original (h, w) before canvas padding
+
+
+def _pad_canvas(arrs: Sequence[np.ndarray], canvas: Tuple[int, int],
+                fill: int = 0) -> np.ndarray:
+    """Stack variable-size [..., H, W] arrays onto a fixed canvas,
+    top-left anchored, like the reference's cat_list (ref:247-257)."""
+    out_shape = (len(arrs),) + arrs[0].shape[:-2] + canvas
+    out = np.full(out_shape, fill, dtype=arrs[0].dtype)
+    for i, a in enumerate(arrs):
+        out[i, ..., :a.shape[-2], :a.shape[-1]] = a
+    return out
+
+
+class HostLoader:
+    """Minimal epoch iterator: shuffled batches of raw uint8 samples.
+
+    Variable source sizes are padded to the per-batch max canvas (rounded up
+    to `canvas_multiple`) with image fill 0 / mask fill 255 — 255 being the
+    ignore/padding label (ref:my_dataset.py:243).
+    """
+
+    def __init__(self, index: DatasetIndex, batch_size: int, *,
+                 shuffle: bool, seed: int = 0, use_pk_maps: bool = False,
+                 drop_last: bool = False, canvas_multiple: int = 32,
+                 prefetch: int = 2):
+        self.index = index
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.use_pk_maps = use_pk_maps
+        self.drop_last = drop_last
+        self.canvas_multiple = canvas_multiple
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, recs: List[SampleRecord]) -> Batch:
+        samples = [load_sample_raw(r, self.use_pk_maps) for r in recs]
+        sizes = np.asarray([s[0].shape[1:] for s in samples], dtype=np.int32)
+        cm = self.canvas_multiple
+        ch = int(-(-sizes[:, 0].max() // cm) * cm)
+        cw = int(-(-sizes[:, 1].max() // cm) * cm)
+        frames = _pad_canvas([s[0] for s in samples], (ch, cw), fill=0)
+        masks = _pad_canvas([s[1] for s in samples], (ch, cw), fill=255)
+        pk = None
+        if self.use_pk_maps:
+            pk = _pad_canvas([s[2] for s in samples], (ch, cw), fill=0)
+        return Batch(frames=frames, masks=masks, pk=pk, sizes=sizes)
+
+    def epoch(self, epoch_num: int = 0) -> Iterator[Batch]:
+        order = np.arange(len(self.index))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch_num)
+            rng.shuffle(order)
+        if self.drop_last:
+            order = order[: len(self) * self.batch_size]
+
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+
+        if self.prefetch <= 0:
+            for chunk in chunks:
+                yield self._make_batch([self.index[int(i)] for i in chunk])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for chunk in chunks:
+                    q.put(self._make_batch([self.index[int(i)] for i in chunk]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,262 @@
+"""Device-side batched preprocessing (TPU-native replacement for
+ref:transforms.py + ref:train.py:51-74 presets).
+
+Training augmentation is ONE fused affine warp per sample instead of the
+reference's chain of PIL resamplings (RandomResize -> HFlip -> VFlip ->
+RandomRotation -> RandomCrop, ref:train.py:56-67): the five geometric steps
+compose into a single output-pixel -> source-pixel affine map, evaluated
+once with bilinear (image) / nearest (mask) sampling at a FIXED 224x224
+output shape — static shapes, one gather per pixel, jit-compiled, batched
+over B and shared across the T frames.
+
+Behavioral notes vs the reference:
+  * One shared random draw across a sample's T frames — deliberately fixing
+    the per-frame re-roll quirk of ref:my_dataset.py:173-179 (SURVEY.md §7).
+  * A single resampling replaces three chained PIL resamplings (each of
+    which rounds to uint8); the augmentation distribution is the same, the
+    per-pixel values differ at the level PIL's own rounding does.
+  * Eval-path resize keeps EXACT PIL short-edge parity via
+    ops.resize.pil_resize_weights, since eval resampling affects metrics.
+
+Normalization: x/255 -> (x - mean)/std with the BreaDM stats
+(ref:train.py:146-148, ref:transforms.py:120-134).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stf_unet_tpu.core.config import DataConfig
+from stf_unet_tpu.ops.resize import pil_resize_weights, resize_nearest, short_edge_size
+
+
+def normalize(img: jax.Array, mean: float, std: float) -> jax.Array:
+    """uint8/float [0,255] -> normalized float32 (ToTensor + Normalize,
+    ref:transforms.py:120-134)."""
+    return (img.astype(jnp.float32) / 255.0 - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# Fused affine-warp training augmentation
+# ---------------------------------------------------------------------------
+
+def _sample_params(key: jax.Array, cfg_min_size: int, cfg_max_size: int,
+                   hflip_prob: float, vflip_prob: float, rotate_prob: float,
+                   rotate_deg: float, crop: int, src_h: jax.Array,
+                   src_w: jax.Array):
+    """Draw one sample's augmentation parameters (all scalars)."""
+    k = jax.random.split(key, 6)
+    # RandomResize: short edge -> r in [min, max] (ref:transforms.py:18-32).
+    r = jax.random.randint(k[0], (), cfg_min_size, cfg_max_size + 1)
+    short = jnp.minimum(src_h, src_w).astype(jnp.float32)
+    scale = r.astype(jnp.float32) / short
+    res_h = jnp.round(src_h.astype(jnp.float32) * scale)
+    res_w = jnp.round(src_w.astype(jnp.float32) * scale)
+
+    hflip = jax.random.uniform(k[1], ()) < hflip_prob
+    vflip = jax.random.uniform(k[2], ()) < vflip_prob
+    do_rot = jax.random.uniform(k[3], ()) < rotate_prob
+    angle = jnp.where(
+        do_rot,
+        jax.random.uniform(k[4], (), minval=-rotate_deg, maxval=rotate_deg),
+        0.0,
+    ) * (jnp.pi / 180.0)
+
+    # RandomCrop offset in resized space; pad-to-crop when smaller
+    # (ref:transforms.py:74-99 pads bottom/right with 0 then crops).
+    max_y0 = jnp.maximum(res_h - crop, 0.0)
+    max_x0 = jnp.maximum(res_w - crop, 0.0)
+    u = jax.random.uniform(k[5], (2,))
+    # randint(0, max) inclusive -> floor(u * (max+1)) clipped.
+    y0 = jnp.minimum(jnp.floor(u[0] * (max_y0 + 1.0)), max_y0)
+    x0 = jnp.minimum(jnp.floor(u[1] * (max_x0 + 1.0)), max_x0)
+    return scale, res_h, res_w, hflip, vflip, angle, y0, x0
+
+
+def _build_affine(scale, res_h, res_w, hflip, vflip, angle, y0, x0):
+    """2x3 matrix mapping output pixel-center (y, x) -> source pixel coords.
+
+    Inverse composition of: resize(scale) -> hflip -> vflip -> rotate(angle,
+    center of resized image, expand=False) -> crop at (y0, x0).
+    Coordinates are pixel centers; resize inverse uses the standard
+    src = (p + 0.5)/scale - 0.5 center-aligned map.
+    """
+    cy = (res_h - 1.0) / 2.0
+    cx = (res_w - 1.0) / 2.0
+    cos_a = jnp.cos(angle)
+    sin_a = jnp.sin(angle)
+
+    # out -> rotated-resized coords: p_r = p + (y0, x0)
+    # rotated -> flipped coords: q = R(-angle) about (cy, cx)
+    # PIL rotate(angle) is counterclockwise in image convention;
+    # inverse rotation in (row, col): rows grow downward, so the matrix for
+    # the inverse of CCW-by-angle is [[cos, -sin], [sin, cos]] in (y, x).
+    m00, m01 = cos_a, -sin_a
+    m10, m11 = sin_a, cos_a
+
+    # flipped -> resized coords: y' = y (vflip: res_h-1-y), x' similarly.
+    sy = jnp.where(vflip, -1.0, 1.0)
+    oy = jnp.where(vflip, res_h - 1.0, 0.0)
+    sx = jnp.where(hflip, -1.0, 1.0)
+    ox = jnp.where(hflip, res_w - 1.0, 0.0)
+
+    # resized -> source: s = (p + 0.5)/scale - 0.5
+    inv = 1.0 / scale
+
+    def compose(py, px):
+        # crop
+        ry = py + y0
+        rx = px + x0
+        # rotate about center
+        fy = m00 * (ry - cy) + m01 * (rx - cx) + cy
+        fx = m10 * (ry - cy) + m11 * (rx - cx) + cx
+        # unflip
+        uy = sy * fy + oy
+        ux = sx * fx + ox
+        # unresize
+        gy = (uy + 0.5) * inv - 0.5
+        gx = (ux + 0.5) * inv - 0.5
+        return gy, gx
+
+    return compose
+
+
+def _bilinear_gather(img: jax.Array, gy: jax.Array, gx: jax.Array,
+                     valid_h: jax.Array, valid_w: jax.Array) -> jax.Array:
+    """Sample img [..., H, W] at float coords (gy, gx) [Ho, Wo]; out-of-range
+    of the VALID region (original size before canvas padding) -> 0."""
+    h, w = img.shape[-2], img.shape[-1]
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = gy - y0
+    wx = gx - x0
+
+    def tap(yy, xx):
+        inside = ((yy >= 0) & (yy <= valid_h - 1) &
+                  (xx >= 0) & (xx <= valid_w - 1))
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        vals = img[..., yc, xc]
+        return vals * inside.astype(img.dtype)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    wy = wy.astype(img.dtype)
+    wx = wx.astype(img.dtype)
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+def _nearest_gather(img: jax.Array, gy: jax.Array, gx: jax.Array,
+                    valid_h: jax.Array, valid_w: jax.Array,
+                    fill: int = 0) -> jax.Array:
+    h, w = img.shape[-2], img.shape[-1]
+    yy = jnp.round(gy)
+    xx = jnp.round(gx)
+    inside = (yy >= 0) & (yy <= valid_h - 1) & (xx >= 0) & (xx <= valid_w - 1)
+    yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+    xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+    vals = img[..., yc, xc]
+    return jnp.where(inside, vals, jnp.asarray(fill, dtype=img.dtype))
+
+
+class TrainAugment:
+    """Batched fused augmentation. Call with a raw uint8 host batch."""
+
+    def __init__(self, cfg: DataConfig):
+        self.cfg = cfg
+        self.min_size = int(0.5 * cfg.base_size)   # ref:train.py:59
+        self.max_size = int(1.2 * cfg.base_size)
+        self.crop = cfg.crop_size
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def __call__(self, key: jax.Array, frames: jax.Array, masks: jax.Array,
+                 sizes: jax.Array, pk: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """frames [B,T,H,W] uint8, masks [B,H,W] uint8, sizes [B,2],
+        pk [B,3,H,W] or None ->
+        (images [B, T(+3), crop, crop, 1] float32 normalized,
+         targets [B, crop, crop] int32).
+        PK maps ride as extra pseudo-time-steps (ref:my_dataset.py:226-227).
+        """
+        bsz = frames.shape[0]
+        keys = jax.random.split(key, bsz)
+        crop = self.crop
+        grid_y, grid_x = jnp.meshgrid(
+            jnp.arange(crop, dtype=jnp.float32),
+            jnp.arange(crop, dtype=jnp.float32), indexing="ij")
+
+        def one(k, frames_i, mask_i, size_i, pk_i):
+            src_h = size_i[0].astype(jnp.float32)
+            src_w = size_i[1].astype(jnp.float32)
+            params = _sample_params(
+                k, self.min_size, self.max_size, self.cfg.hflip_prob,
+                self.cfg.vflip_prob, self.cfg.rotate_prob,
+                self.cfg.rotate_degrees, crop, src_h, src_w)
+            compose = _build_affine(*params)
+            gy, gx = compose(grid_y, grid_x)
+
+            img = frames_i.astype(jnp.float32) / 255.0
+            warped = _bilinear_gather(img, gy, gx, src_h, src_w)  # [T,c,c]
+            warped = (warped - self.cfg.mean) / self.cfg.std
+            tgt = _nearest_gather(mask_i.astype(jnp.int32), gy, gx,
+                                  src_h, src_w, fill=0)
+            if pk_i is not None:
+                pk_f = pk_i.astype(jnp.float32) / 255.0
+                pk_w = _bilinear_gather(pk_f, gy, gx, src_h, src_w)
+                pk_w = (pk_w - self.cfg.mean) / self.cfg.std
+                warped = jnp.concatenate([warped, pk_w], axis=0)
+            return warped, tgt
+
+        if pk is None:
+            images, targets = jax.vmap(
+                lambda k, f, m, s: one(k, f, m, s, None))(
+                keys, frames, masks, sizes)
+        else:
+            images, targets = jax.vmap(one)(keys, frames, masks, sizes, pk)
+        return images[..., None], targets
+
+
+# ---------------------------------------------------------------------------
+# Eval preprocessing — exact PIL parity (affects metrics)
+# ---------------------------------------------------------------------------
+
+def eval_preprocess(frames: np.ndarray, mask: np.ndarray, cfg: DataConfig,
+                    pk: Optional[np.ndarray] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side eval transform for ONE sample: PIL-parity short-edge resize
+    to crop_size (ref:train.py:70-74) + normalize.
+
+    frames uint8 [T, H, W] -> ([T(+3), h', w', 1] float32, [h', w'] int32).
+    """
+    t, h, w = frames.shape
+    out_h, out_w = short_edge_size(h, w, cfg.crop_size)
+    wh = pil_resize_weights(h, out_h)
+    ww = pil_resize_weights(w, out_w)
+
+    def pil_resize_u8(x):
+        # PIL resizes uint8 with rounding; replicate (ref resizes PIL images).
+        y = np.einsum("oh,thw->tow", wh, x.astype(np.float64))
+        y = np.einsum("pw,tow->top", ww, y)
+        return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+    frames_r = pil_resize_u8(frames)
+    imgs = (frames_r.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
+
+    from stf_unet_tpu.ops.resize import _nearest_indices
+    rows = _nearest_indices(h, out_h)
+    cols = _nearest_indices(w, out_w)
+    mask_r = mask[rows][:, cols].astype(np.int32)
+
+    if pk is not None:
+        pk_r = pil_resize_u8(pk)
+        pk_n = (pk_r.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
+        imgs = np.concatenate([imgs, pk_n], axis=0)
+    return imgs[..., None], mask_r

@@ -1,0 +1,89 @@
+"""Confusion-matrix metrics (ref:train_utils/train_and_eval.py:25-70,338-374).
+
+Functional running state: an [n, n] int array updated inside jit. Under a
+data-parallel mesh the scatter-add reduces globally (GSPMD), replacing the
+reference's optional dist.all_reduce (ref:51-57).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_init(num_classes: int) -> jax.Array:
+    return jnp.zeros((num_classes, num_classes), dtype=jnp.int64)
+
+
+def confusion_update(mat: jax.Array, target: jax.Array, pred: jax.Array) -> jax.Array:
+    """mat += bincount(n*a + b) over pixels with 0 <= a < n (ref:30-39).
+
+    The `0 <= a < n` guard is what drops the 255 padding label.
+    """
+    n = mat.shape[0]
+    a = target.reshape(-1)
+    b = pred.reshape(-1)
+    valid = (a >= 0) & (a < n)
+    idx = jnp.where(valid, n * a + b, n * n)  # out-of-range -> dropped
+    flat = jnp.zeros(n * n + 1, dtype=mat.dtype).at[idx].add(1)
+    return mat + flat[:-1].reshape(n, n)
+
+
+def confusion_compute(mat: jax.Array):
+    """-> (global acc, per-class acc, per-class IoU) (ref:44-49)."""
+    h = mat.astype(jnp.float64)
+    diag = jnp.diagonal(h)
+    acc_global = diag.sum() / h.sum()
+    acc = diag / h.sum(axis=1)
+    iu = diag / (h.sum(axis=1) + h.sum(axis=0) - diag)
+    return acc_global, acc, iu
+
+
+def confusion_report(mat: np.ndarray, eps: float = 1e-6) -> Dict:
+    """Post-hoc numpy precision/recall/IoU per class + means (ref:338-366)."""
+    total = mat.sum()
+    global_accuracy = float(np.diag(mat).sum() / total) if total != 0 else 0.0
+    class_metrics: List[Dict[str, float]] = []
+    for c in range(mat.shape[0]):
+        tp = mat[c, c]
+        fp = mat[:, c].sum() - tp
+        fn = mat[c, :].sum() - tp
+        class_metrics.append({
+            "precision": float(tp / (tp + fp + eps)),
+            "recall": float(tp / (tp + fn + eps)),
+            "iou": float(tp / (tp + fp + fn + eps)),
+        })
+    mean_metrics = {
+        "mprecision": float(np.mean([m["precision"] for m in class_metrics])),
+        "mrecall": float(np.mean([m["recall"] for m in class_metrics])),
+        "miou": float(np.mean([m["iou"] for m in class_metrics])),
+    }
+    return {
+        "global_accuracy": global_accuracy,
+        "class_metrics": class_metrics,
+        "mean_metrics": mean_metrics,
+    }
+
+
+def format_confusion(mat: np.ndarray) -> str:
+    """Pretty string matching ref ConfusionMatrix.__str__ (ref:59-70)."""
+    h = mat.astype(np.float64)
+    diag = np.diag(h)
+    acc_global = diag.sum() / max(h.sum(), 1e-12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc = diag / h.sum(axis=1)
+        iu = diag / (h.sum(axis=1) + h.sum(axis=0) - diag)
+    return (
+        "global correct: {:.1f}\n"
+        "average row correct: {}\n"
+        "IoU: {}\n"
+        "mean IoU: {:.1f}"
+    ).format(
+        acc_global * 100,
+        ["{:.1f}".format(i) for i in (acc * 100).tolist()],
+        ["{:.1f}".format(i) for i in (iu * 100).tolist()],
+        np.nanmean(iu) * 100,
+    )

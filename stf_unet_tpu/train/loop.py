@@ -1,0 +1,186 @@
+"""Jitted train/eval loops (ref:train_utils/train_and_eval.py:316-411).
+
+The per-step pipeline is: host loader yields raw uint8 batches -> device-side
+fused augmentation (data/transforms.py) -> jitted train step with donated
+state. Under a data-parallel mesh the batch axis of (images, targets) is
+sharded and the state replicated; XLA inserts all gradient/metric/BN-stat
+reductions (core/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stf_unet_tpu.core import mesh as mesh_lib
+from stf_unet_tpu.core.prng import augment_key
+from stf_unet_tpu.data.loader import HostLoader
+from stf_unet_tpu.data.transforms import TrainAugment, eval_preprocess
+from stf_unet_tpu.losses.criterion import criterion
+from stf_unet_tpu.metrics.confusion import (confusion_compute, confusion_init,
+                                            confusion_report, confusion_update,
+                                            format_confusion)
+from stf_unet_tpu.metrics.dice import eval_dice_update, eval_dice_value
+from stf_unet_tpu.metrics.meters import MetricLogger, SmoothedValue
+from stf_unet_tpu.models.registry import preprocess_input
+from stf_unet_tpu.train.state import TrainState
+
+
+def make_train_step(model, optim, schedule, num_classes: int,
+                    ignore_index: int = -100) -> Callable:
+    """Build the jitted train step. State is donated (in-place update in HBM)."""
+
+    def loss_fn(params, batch_stats, images, targets):
+        x = preprocess_input(images, model)
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = model.apply(variables, x, train=True,
+                                       mutable=["batch_stats"])
+        loss = criterion(outputs, targets, num_classes=num_classes,
+                         ignore_index=ignore_index)
+        return loss, mutated["batch_stats"]
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, images, targets):
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, targets)
+        updates, new_opt = optim.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        lr = schedule(state.step)
+        new_state = TrainState(params=new_params, batch_stats=new_bn,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, loss, lr
+
+    return train_step
+
+
+def train_one_epoch(state: TrainState, train_step: Callable,
+                    loader: HostLoader, augment: TrainAugment,
+                    root_key: jax.Array, epoch: int, *,
+                    mesh=None, print_freq: int = 10
+                    ) -> Tuple[TrainState, float, float]:
+    """One epoch (ref:train_and_eval.py:377-411). Returns
+    (state, mean loss, last lr)."""
+    logger = MetricLogger(delimiter="  ")
+    logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    header = f"Epoch: [{epoch}]"
+    lr = 0.0
+    step_in_epoch = 0
+    for batch in logger.log_every(loader.epoch(epoch), print_freq, header,
+                                  total=len(loader)):
+        key = augment_key(root_key, epoch, step_in_epoch)
+        frames = jnp.asarray(batch.frames)
+        masks = jnp.asarray(batch.masks)
+        sizes = jnp.asarray(batch.sizes)
+        pk = jnp.asarray(batch.pk) if batch.pk is not None else None
+        images, targets = augment(key, frames, masks, sizes, pk)
+        if mesh is not None:
+            images = jax.device_put(images, mesh_lib.batch_sharding(mesh, images.ndim))
+            targets = jax.device_put(targets, mesh_lib.batch_sharding(mesh, targets.ndim))
+        state, loss, lr = train_step(state, images, targets)
+        logger.update(loss=float(loss), lr=float(lr))
+        step_in_epoch += 1
+    return state, logger.meters["loss"].global_avg, float(lr)
+
+
+class _EvalStepCache:
+    """Per-input-shape compiled eval steps. DCE-MRI datasets have a handful
+    of slice geometries, so exact-shape compilation beats padding (which
+    would perturb predictions near the pad boundary vs the reference)."""
+
+    def __init__(self, model, num_classes: int):
+        self.model = model
+        self.num_classes = num_classes
+        self._fns: Dict[Tuple[int, ...], Callable] = {}
+
+    def __call__(self, variables, image, target, conf, dice_cum, dice_count):
+        key = tuple(image.shape)
+        if key not in self._fns:
+            model = self.model
+
+            @jax.jit
+            def eval_step(variables, image, target, conf, dice_cum, dice_count):
+                x = preprocess_input(image, model)
+                logits = model.apply(variables, x, train=False)["out"]
+                conf = confusion_update(conf, target, jnp.argmax(logits, axis=-1))
+                dice_cum, dice_count = eval_dice_update(
+                    dice_cum, dice_count, logits, target, ignore_index=255)
+                return logits, conf, dice_cum, dice_count
+
+            self._fns[key] = eval_step
+        return self._fns[key](variables, image, target, conf, dice_cum, dice_count)
+
+
+def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
+             print_freq: int = 100, collect_outputs: bool = False
+             ) -> Dict[str, Any]:
+    """Validation/test pass (ref:train_and_eval.py:316-374).
+
+    `eval_batches` yields (image [B,T,h,w,1] float32, target [B,h,w] int32)
+    numpy/JAX arrays (already eval-preprocessed). Returns the reference's
+    result dict {dice, confusion_matrix, global_accuracy, class_metrics,
+    mean_metrics} (+ outputs when collect_outputs).
+    """
+    variables = state.variables()
+    conf = confusion_init(num_classes)
+    dice_cum = jnp.zeros((num_classes,), jnp.float32)
+    dice_count = jnp.zeros((), jnp.int32)
+    stepper = _EvalStepCache(model, num_classes)
+    logger = MetricLogger(delimiter="  ")
+    outputs = []
+    for image, target in logger.log_every(eval_batches, print_freq, "Test:"):
+        image = jnp.asarray(image)
+        target = jnp.asarray(target)
+        logits, conf, dice_cum, dice_count = stepper(
+            variables, image, target, conf, dice_cum, dice_count)
+        if collect_outputs:
+            outputs.append(np.asarray(logits))
+    mat = np.asarray(conf)
+    report = confusion_report(mat)
+    return {
+        "dice": float(eval_dice_value(dice_cum, dice_count)),
+        "confusion_matrix": mat,
+        "confusion_str": format_confusion(mat),
+        "global_accuracy": report["global_accuracy"],
+        "class_metrics": report["class_metrics"],
+        "mean_metrics": report["mean_metrics"],
+        **({"outputs": outputs} if collect_outputs else {}),
+    }
+
+
+def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
+                            batch_size: int = 1):
+    """Generator of eval-preprocessed (image, target) batches from a
+    DatasetIndex (val/test loaders use batch_size=1, ref:train.py:206-211;
+    batches >1 pad targets with 255 like cat_list, ref:my_dataset.py:237-257).
+    """
+    from stf_unet_tpu.data.loader import load_sample_raw
+
+    buf_img, buf_tgt = [], []
+    for rec in index.records:
+        frames, mask, pk = load_sample_raw(rec, use_pk_maps)
+        img, tgt = eval_preprocess(frames, mask, cfg, pk)
+        buf_img.append(img)
+        buf_tgt.append(tgt)
+        if len(buf_img) == batch_size:
+            yield _collate_eval(buf_img, buf_tgt)
+            buf_img, buf_tgt = [], []
+    if buf_img:
+        yield _collate_eval(buf_img, buf_tgt)
+
+
+def _collate_eval(imgs, tgts):
+    max_h = max(t.shape[0] for t in tgts)
+    max_w = max(t.shape[1] for t in tgts)
+    b = len(imgs)
+    t_steps = imgs[0].shape[0]
+    image = np.zeros((b, t_steps, max_h, max_w, 1), dtype=np.float32)
+    target = np.full((b, max_h, max_w), 255, dtype=np.int32)
+    for i, (im, tg) in enumerate(zip(imgs, tgts)):
+        image[i, :, :im.shape[1], :im.shape[2]] = im
+        target[i, :tg.shape[0], :tg.shape[1]] = tg
+    return image, target

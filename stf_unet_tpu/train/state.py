@@ -1,0 +1,54 @@
+"""Train state: params + BN running stats + optimizer state.
+
+Optimizer: AdamW lr=1e-3 betas=(0.9,0.999) wd=1e-4 eps=1e-8 over all
+trainable params (ref:train.py:227-237), with the warmup-poly per-step
+schedule folded in (XLA fuses the whole update — the TPU equivalent of
+torch's fused=True).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import optax
+
+from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+from stf_unet_tpu.models.registry import create_model, preprocess_input
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_optimizer(cfg: OptimConfig, schedule) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=schedule,
+        b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def create_train_state(rng: jax.Array, model_cfg: ModelConfig,
+                       optim: optax.GradientTransformation,
+                       sample_input: jax.Array,
+                       dtype: Any = None) -> TrainState:
+    """Initialize model + optimizer from one example input batch
+    ([B, T, H, W, C] sequence layout)."""
+    model = create_model(model_cfg, dtype=dtype)
+    x = preprocess_input(sample_input, model)
+    variables = model.init(rng, x, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optim.init(params)
+    import jax.numpy as jnp
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))

@@ -1,0 +1,107 @@
+"""Loss semantics vs torch oracles and reference formulas
+(ref:train_utils/dice_coefficient_loss.py, train_and_eval.py:299-313)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as tF
+
+from stf_unet_tpu.losses import (build_target, criterion, cross_entropy,
+                                 dice_coeff, dice_loss, multiclass_dice_coeff)
+
+RNG = np.random.default_rng(1)
+
+
+def test_cross_entropy_matches_torch():
+    logits = RNG.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    target = RNG.integers(0, 3, size=(2, 8, 8))
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    theirs = float(tF.cross_entropy(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(target)))
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_cross_entropy_ignore_index():
+    logits = RNG.normal(size=(1, 4, 4, 2)).astype(np.float32)
+    target = RNG.integers(0, 2, size=(1, 4, 4))
+    target[0, 0, :] = 255
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(target),
+                               ignore_index=255))
+    theirs = float(tF.cross_entropy(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(target),
+        ignore_index=255))
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_cross_entropy_class_weights():
+    logits = RNG.normal(size=(2, 4, 4, 2)).astype(np.float32)
+    target = RNG.integers(0, 2, size=(2, 4, 4))
+    w = np.array([0.3, 0.7], dtype=np.float32)
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(target),
+                               weight=jnp.asarray(w)))
+    theirs = float(tF.cross_entropy(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(target),
+        weight=torch.tensor(w)))
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_build_target_one_hot_and_ignore():
+    tgt = jnp.asarray([[[0, 1], [255, 1]]])
+    out = build_target(tgt, num_classes=2, ignore_index=255)
+    assert out.shape == (1, 2, 2, 2)
+    np.testing.assert_array_equal(np.asarray(out[0, 0, 0]), [1, 0])
+    np.testing.assert_array_equal(np.asarray(out[0, 0, 1]), [0, 1])
+    # ignored pixel carries ignore_index in every channel (ref:13)
+    np.testing.assert_array_equal(np.asarray(out[0, 1, 0]), [255, 255])
+
+
+def test_dice_coeff_reference_semantics():
+    # hand-computed: x=[1,0,1,0], t=[1,1,0,0] -> inter=1, sum=4 -> d=(2+e)/(4+e)
+    x = jnp.asarray([[1.0, 0.0, 1.0, 0.0]]).reshape(1, 2, 2)
+    t = jnp.asarray([[1.0, 1.0, 0.0, 0.0]]).reshape(1, 2, 2)
+    d = float(dice_coeff(x, t))
+    assert abs(d - (2 * 1 + 1e-6) / (4 + 1e-6)) < 1e-6
+
+
+def test_dice_coeff_empty_set_guard():
+    # both empty -> sets_sum==0 -> replaced by 2*inter=0 -> d=eps/eps=1 (ref:34-35)
+    x = jnp.zeros((1, 2, 2))
+    t = jnp.zeros((1, 2, 2))
+    assert abs(float(dice_coeff(x, t)) - 1.0) < 1e-6
+
+
+def test_dice_coeff_ignore_masking():
+    # masked-out pixels contribute nothing (ref:27-31)
+    x = jnp.asarray([[1.0, 1.0], [0.0, 0.0]]).reshape(1, 2, 2)
+    t = jnp.asarray([[1.0, 255.0], [0.0, 0.0]]).reshape(1, 2, 2)
+    d_masked = float(dice_coeff(x, t, ignore_index=255))
+    # equivalent filtered problem: x=[1,0,0], t=[1,0,0] -> dice 1
+    assert abs(d_masked - 1.0) < 1e-6
+
+
+def test_multiclass_dice_is_channel_mean():
+    x = jnp.asarray(RNG.uniform(size=(2, 4, 4, 3)).astype(np.float32))
+    t = jnp.asarray((RNG.uniform(size=(2, 4, 4, 3)) > 0.5).astype(np.float32))
+    m = float(multiclass_dice_coeff(x, t))
+    per = np.mean([float(dice_coeff(x[..., c], t[..., c])) for c in range(3)])
+    assert abs(m - per) < 1e-6
+
+
+def test_criterion_ce_plus_dice():
+    logits = jnp.asarray(RNG.normal(size=(2, 8, 8, 2)).astype(np.float32))
+    target = jnp.asarray(RNG.integers(0, 2, size=(2, 8, 8)))
+    full = float(criterion({"out": logits}, target))
+    ce = float(cross_entropy(logits, target))
+    dl = float(dice_loss(logits, build_target(target, 2)))
+    assert abs(full - (ce + dl)) < 1e-5
+
+
+def test_criterion_aux_head():
+    logits = jnp.asarray(RNG.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    aux = jnp.asarray(RNG.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    target = jnp.asarray(RNG.integers(0, 2, size=(1, 4, 4)))
+    combined = float(criterion({"out": logits, "aux": aux}, target))
+    lo = float(criterion({"out": logits}, target))
+    la = float(criterion({"out": aux}, target))
+    assert abs(combined - (lo + 0.5 * la)) < 1e-5

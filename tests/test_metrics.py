@@ -1,0 +1,84 @@
+"""Metric semantics (ref:train_utils/train_and_eval.py:25-142,338-374)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from stf_unet_tpu.metrics import confusion_report, confusion_update, iou_score
+from stf_unet_tpu.metrics.confusion import confusion_compute, confusion_init
+from stf_unet_tpu.metrics.dice import eval_dice_update, eval_dice_value
+
+RNG = np.random.default_rng(2)
+
+
+def _np_confusion(n, a, b):
+    k = (a >= 0) & (a < n)
+    return np.bincount(n * a[k] + b[k], minlength=n * n).reshape(n, n)
+
+
+def test_confusion_update_matches_bincount():
+    n = 3
+    a = RNG.integers(0, 3, size=500)
+    a[:50] = 255  # padding label must be dropped (ref:37-38)
+    b = RNG.integers(0, 3, size=500)
+    mat = confusion_update(confusion_init(n), jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_array_equal(np.asarray(mat), _np_confusion(n, a, b))
+
+
+def test_confusion_compute():
+    mat = jnp.asarray([[8, 2], [1, 9]])
+    acc_global, acc, iu = confusion_compute(mat)
+    assert abs(float(acc_global) - 17 / 20) < 1e-6
+    np.testing.assert_allclose(np.asarray(acc), [0.8, 0.9], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(iu), [8 / 11, 9 / 12], rtol=1e-6)
+
+
+def test_confusion_report_means():
+    mat = np.array([[8, 2], [1, 9]])
+    rep = confusion_report(mat)
+    assert abs(rep["class_metrics"][0]["precision"] - 8 / 9) < 1e-4
+    assert abs(rep["class_metrics"][0]["recall"] - 8 / 10) < 1e-4
+    assert abs(rep["mean_metrics"]["miou"]
+               - 0.5 * (8 / 11 + 9 / 12)) < 1e-4
+
+
+def test_eval_dice_union_zero_gives_one():
+    # logits force pred=class0 everywhere; target all 0 -> class1 union==0 -> 1
+    logits = jnp.zeros((1, 4, 4, 2)).at[..., 0].set(10.0)
+    target = jnp.zeros((1, 4, 4), dtype=jnp.int32)
+    cum, cnt = eval_dice_update(jnp.zeros(2), jnp.zeros((), jnp.int32),
+                                logits, target)
+    np.testing.assert_allclose(np.asarray(cum), [1.0, 1.0])
+    assert abs(float(eval_dice_value(cum, cnt)) - 1.0) < 1e-6
+
+
+def test_eval_dice_ignore_masks_to_class0():
+    """Reference quirk: ignore pixels become class 0 for BOTH pred and target
+    (ref:87-90), not excluded."""
+    logits = jnp.zeros((1, 2, 2, 2)).at[..., 1].set(10.0)  # pred all 1
+    target = jnp.asarray([[[1, 1], [255, 255]]])
+    cum, cnt = eval_dice_update(jnp.zeros(2), jnp.zeros((), jnp.int32),
+                                logits, target, ignore_index=255)
+    # after masking: pred=[1,1,0,0], tgt=[1,1,0,0] -> both classes dice 1
+    np.testing.assert_allclose(np.asarray(cum), [1.0, 1.0])
+
+
+def test_eval_dice_running_mean():
+    logits_a = jnp.zeros((1, 2, 2, 2)).at[..., 0].set(5.0)
+    tgt_a = jnp.zeros((1, 2, 2), dtype=jnp.int32)
+    cum = jnp.zeros(2)
+    cnt = jnp.zeros((), jnp.int32)
+    cum, cnt = eval_dice_update(cum, cnt, logits_a, tgt_a)
+    tgt_b = jnp.ones((1, 2, 2), dtype=jnp.int32)
+    cum, cnt = eval_dice_update(cum, cnt, logits_a, tgt_b)
+    # batch1: [1,1]; batch2: pred0/tgt1 -> class0: inter0 union4 -> 0;
+    # class1: inter 0, union 4 -> 0. mean over batches then classes = 0.5
+    assert abs(float(eval_dice_value(cum, cnt)) - 0.5) < 1e-6
+
+
+def test_iou_score_binary():
+    out = np.array([[0.9, 0.1], [0.8, 0.2]])
+    tgt = np.array([[1.0, 0.0], [0.0, 0.0]])
+    iou, dice = iou_score(out, tgt)
+    assert abs(iou - (1 + 1e-5) / (2 + 1e-5)) < 1e-6
+    assert abs(dice - (2 + 1e-5) / (3 + 1e-5)) < 1e-6
