@@ -1,0 +1,128 @@
+"""Benchmark: DCE-MRI slices/sec/chip, ours (TPU) vs reference (PyTorch CPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline config = BASELINE.md config 2: 2-D UNet, batch 16, 224x224, 8
+temporal frames as stacked channels, dice+CE loss, AdamW train step. The
+reference baseline is the SAME workload run through the reference's own
+torch model (/root/reference/src/unet.py) on CPU, measured once and cached
+in bench_baseline.json (the reference's STF-LSTM-UNet cannot run at all:
+its decoder stops at half resolution and torchvision is unavailable —
+see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "bench_baseline.json")
+
+BATCH = 16
+CROP = 224
+T_FRAMES = 8
+WARMUP = 3
+ITERS = 20
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    model_cfg = ModelConfig(model="unet", num_classes=1, time_steps=T_FRAMES)
+    model = create_model(model_cfg)
+    schedule = warmup_poly_schedule(1e-3, 100, 100)
+    optim = make_optimizer(OptimConfig(), schedule)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, CROP, CROP, 1)),
+                    jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (BATCH, CROP, CROP)), jnp.int32)
+    state = create_train_state(jax.random.key(0), model_cfg, optim, x)
+    step = make_train_step(model, optim, schedule, model_cfg.total_classes)
+
+    for _ in range(WARMUP):
+        state, loss, _ = step(state, x, y)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, loss, _ = step(state, x, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def measure_reference_cpu() -> float:
+    """Run the reference's own UNet + loss on torch CPU, same workload."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.unet import UNet  # reference model, invoked not copied
+
+    torch.manual_seed(0)
+    model = UNet(in_channels=T_FRAMES, num_classes=2)
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-4)
+
+    rng = np.random.default_rng(0)
+    x = torch.tensor(rng.normal(size=(BATCH, T_FRAMES, CROP, CROP)),
+                     dtype=torch.float32)
+    y = torch.tensor(rng.integers(0, 2, (BATCH, CROP, CROP)),
+                     dtype=torch.int64)
+
+    from train_utils.train_and_eval import criterion  # reference loss
+
+    iters = 3
+    times = []
+    for i in range(iters + 1):
+        t0 = time.perf_counter()
+        out = model(x)
+        loss = criterion(out, y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if i > 0:  # skip first (allocation warmup)
+            times.append(time.perf_counter() - t0)
+    return BATCH / (sum(times) / len(times))
+
+
+def main() -> None:
+    ours = measure_ours()
+
+    baseline = None
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            baseline = json.load(f).get("reference_cpu_slices_per_sec")
+    if baseline is None and os.path.isdir("/root/reference"):
+        try:
+            baseline = measure_reference_cpu()
+            with open(CACHE, "w") as f:
+                json.dump({"reference_cpu_slices_per_sec": baseline,
+                           "config": {"batch": BATCH, "crop": CROP,
+                                      "frames": T_FRAMES,
+                                      "model": "unet", "device": "cpu"}}, f)
+        except Exception as e:  # pragma: no cover
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "unet_train_slices_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "slices/sec",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Standalone inference entry point (ref:test.py:137-196).
+
+Usage: python -m stf_unet_tpu.cli.test --model unet --model-dir ./save_weights
+       --root <BreaDM root> [--output-dir ./output/test_results]
+       [--use-subtraction] [--use-pk-maps] [--num-classes 2]
+
+Loads the best checkpoint, runs test-set inference with overlay renders,
+then prints the full eval metrics. Prediction semantics are unified on
+argmax (SURVEY §3.3 — the reference's sigmoid/channel-0/inversion trio is
+documented as inconsistent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+from stf_unet_tpu.models.registry import create_model
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.train.checkpoint import CheckpointManager
+from stf_unet_tpu.train.loop import eval_batches_from_index, evaluate
+from stf_unet_tpu.train.schedule import warmup_poly_schedule
+from stf_unet_tpu.train.state import create_train_state, make_optimizer
+from stf_unet_tpu.viz.overlay import save_overlay
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="STF-UNet TPU inference")
+    p.add_argument("--model", type=str, default="unet",
+                   choices=["unet", "stflstm"])
+    p.add_argument("--model-dir", type=str, default="./save_weights")
+    p.add_argument("--root", type=str, default="./BreaDM")
+    p.add_argument("--output-dir", type=str, default="./output/test_results")
+    p.add_argument("--use-subtraction", action="store_true")
+    p.add_argument("--use-pk-maps", action="store_true")
+    p.add_argument("--num-classes", type=int, default=2)
+    return p.parse_args(argv)
+
+
+def test(args: argparse.Namespace) -> dict:
+    data_cfg = DataConfig(data_path=args.root,
+                          use_subtraction=args.use_subtraction,
+                          use_pk_maps=args.use_pk_maps)
+    seq_types = data_cfg.resolved_sequence_types
+    model_cfg = ModelConfig(model=args.model,
+                            num_classes=args.num_classes - 1,
+                            time_steps=len(seq_types),
+                            use_pk_maps=args.use_pk_maps)
+    model = create_model(model_cfg)
+
+    # Template state for checkpoint restore (params-only use).
+    import jax
+    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
+    t_total = len(seq_types) + (3 if args.use_pk_maps else 0)
+    sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
+    state = create_train_state(jax.random.key(0), model_cfg, optim, sample)
+
+    ckpt = CheckpointManager(args.model_dir, args.model,
+                             "_pk" if args.use_pk_maps else "")
+    kind = "best" if ckpt.exists("best") else "latest"
+    if not ckpt.exists(kind):
+        raise FileNotFoundError(
+            f"{args.model}_best_model not found in {args.model_dir}")
+    state, _ = ckpt.restore(kind, state)
+    print(f"model_path: {ckpt._path(kind)}")
+
+    test_index = DatasetIndex(args.root, "test", seq_types,
+                              use_pk_maps=args.use_pk_maps)
+
+    print("Running inference on test set...")
+    metrics = evaluate(
+        state, model,
+        eval_batches_from_index(test_index, data_cfg,
+                                use_pk_maps=args.use_pk_maps),
+        args.num_classes, collect_outputs=True)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for idx, (logits, (image, _)) in enumerate(zip(
+            metrics["outputs"],
+            eval_batches_from_index(test_index, data_cfg,
+                                    use_pk_maps=args.use_pk_maps))):
+        pred = np.argmax(logits[0], axis=-1)
+        save_overlay(pred, image[0, 0, :, :, 0], args.output_dir, idx,
+                     prefix=args.model)
+
+    print("Test Set Metrics:")
+    print(metrics["confusion_str"])
+    print(f"Dice: {metrics['dice']:.4f}")
+    print(f"mIoU: {metrics['mean_metrics']['miou']:.4f}")
+    return metrics
+
+
+if __name__ == "__main__":
+    test(parse_args())

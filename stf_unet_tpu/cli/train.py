@@ -1,0 +1,226 @@
+"""Training entry point (ref:train.py:124-401).
+
+Usage: python -m stf_unet_tpu.cli.train --data-path <BreaDM root> [flags]
+
+Reproduces the reference driver: dataset build -> model/optimizer/schedule ->
+optional resume -> epoch loop (train, eval, results file, latest/best
+checkpoints, early stop) -> best-model test-set inference with comparison
+renders -> final test metrics. TPU-native internals throughout: device-side
+augmentation, jitted train step over a data mesh, Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stf_unet_tpu.core import config as config_lib
+from stf_unet_tpu.core import mesh as mesh_lib
+from stf_unet_tpu.core.config import TrainConfig
+from stf_unet_tpu.core.dtypes import make_policy
+from stf_unet_tpu.core.prng import STREAM_INIT, root_key, stream
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.data.loader import HostLoader
+from stf_unet_tpu.data.transforms import TrainAugment
+from stf_unet_tpu.metrics.binary import compute_metrics
+from stf_unet_tpu.models.registry import create_model
+from stf_unet_tpu.train.checkpoint import CheckpointManager
+from stf_unet_tpu.train.early_stop import EarlyStopping
+from stf_unet_tpu.train.loop import (eval_batches_from_index, evaluate,
+                                     make_train_step, train_one_epoch)
+from stf_unet_tpu.train.schedule import warmup_poly_schedule
+from stf_unet_tpu.train.state import create_train_state, make_optimizer
+from stf_unet_tpu.viz.comparison import save_comparison
+
+
+def main(cfg: TrainConfig) -> dict:
+    print(f"JAX {jax.__version__} | devices: {jax.devices()}")
+
+    num_classes = cfg.model.total_classes  # +1 background (ref:train.py:144)
+    tag_suffix = cfg.tag_suffix
+
+    results_file: Optional[str] = None
+    if not cfg.silent:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        results_file = os.path.join(
+            cfg.output_dir,
+            "{}_results_{}{}.txt".format(
+                cfg.model.model, datetime.datetime.now().strftime("%m%d-%H%M"),
+                tag_suffix))
+
+    if cfg.generate_pk_maps:
+        print("Generating PK parameter maps...")
+        from stf_unet_tpu.pk.maps import generate_pk_maps_for_dataset
+        generate_pk_maps_for_dataset(cfg.data.data_path)
+        print("PK parameter maps generation completed")
+
+    early_stopper = EarlyStopping(patience=cfg.early_stop_patience, verbose=True)
+
+    seq_types = cfg.data.resolved_sequence_types
+    print(f"Using sequence types: {list(seq_types)}")
+
+    train_index = DatasetIndex(cfg.data.data_path, "train", seq_types,
+                               use_pk_maps=cfg.data.use_pk_maps)
+    val_index = DatasetIndex(cfg.data.data_path, "val", seq_types,
+                             use_pk_maps=cfg.data.use_pk_maps)
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.data_parallel != 1 and n_dev > 1:
+        mesh = mesh_lib.create_mesh(cfg.data_parallel)
+        print(f"Data-parallel mesh over {mesh.devices.size} devices")
+
+    batch_size = cfg.batch_size
+    if mesh is not None:
+        batch_size = mesh_lib.pad_batch_to_multiple(batch_size, mesh.devices.size)
+
+    loader = HostLoader(train_index, batch_size, shuffle=True, seed=cfg.seed,
+                        use_pk_maps=cfg.data.use_pk_maps,
+                        drop_last=mesh is not None,
+                        prefetch=cfg.data.prefetch)
+    augment = TrainAugment(cfg.data)
+
+    policy = make_policy(cfg.amp)
+    if cfg.amp:
+        print("bf16 compute policy enabled (TPU-native AMP)")
+
+    model_cfg = dataclasses.replace(cfg.model, time_steps=len(seq_types))
+    model = create_model(model_cfg, dtype=policy.compute_dtype
+                         if cfg.amp else None)
+
+    num_step = max(len(loader), 1)
+    schedule = warmup_poly_schedule(
+        cfg.optim.lr, num_step, cfg.epochs, warmup=cfg.optim.warmup,
+        warmup_epochs=cfg.optim.warmup_epochs,
+        warmup_factor=cfg.optim.warmup_factor, power=cfg.optim.poly_power)
+    optim = make_optimizer(cfg.optim, schedule)
+
+    key = root_key(cfg.seed)
+    t_total = len(seq_types) + (cfg.model.pk_channels if cfg.data.use_pk_maps else 0)
+    sample = jnp.zeros((batch_size, t_total, cfg.data.crop_size,
+                        cfg.data.crop_size, 1), jnp.float32)
+    state = create_train_state(stream(key, STREAM_INIT), model_cfg, optim, sample)
+    n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
+    print(f"Model {cfg.model.model}: {n_params / 1e6:.1f}M params")
+
+    ckpt = CheckpointManager(cfg.save_dir, cfg.model.model, tag_suffix)
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        state, meta = ckpt.restore(cfg.resume, state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"Resumed from {cfg.resume} at epoch {start_epoch}")
+
+    if mesh is not None:
+        state = mesh_lib.replicate(mesh, state)
+
+    train_step = make_train_step(model, optim, schedule, num_classes)
+    cfg_json = config_lib.config_to_json(cfg)
+
+    best_dice = 0.0
+    start_time = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        if cfg.test_only:
+            break
+        state, mean_loss, lr = train_one_epoch(
+            state, train_step, loader, augment, key, epoch, mesh=mesh,
+            print_freq=cfg.print_freq)
+
+        metrics = evaluate(
+            state, model,
+            eval_batches_from_index(val_index, cfg.data,
+                                    use_pk_maps=cfg.data.use_pk_maps),
+            num_classes)
+        dice = metrics["dice"]
+        print(metrics["confusion_str"])
+        print(f"Dice coefficient: {dice:.4f}")
+        print(f"Global accuracy: {metrics['global_accuracy']:.4f}")
+        print(f"Mean IoU: {metrics['mean_metrics']['miou']:.4f}")
+        print(f"Mean precision: {metrics['mean_metrics']['mprecision']:.4f}")
+        print(f"Mean recall: {metrics['mean_metrics']['mrecall']:.4f}")
+
+        if results_file:
+            # Per-epoch results block (ref:train.py:288-301 format).
+            with open(results_file, "a") as f:
+                f.write(f"[epoch: {epoch}]\n"
+                        f"train_loss: {mean_loss:.4f}\n"
+                        f"lr: {lr:.6f}\n"
+                        f"dice: {dice:.4f}\n"
+                        f"global_acc: {metrics['global_accuracy']:.4f}\n"
+                        f"mean_iou: {metrics['mean_metrics']['miou']:.4f}\n"
+                        f"mean_precision: {metrics['mean_metrics']['mprecision']:.4f}\n"
+                        f"mean_recall: {metrics['mean_metrics']['mrecall']:.4f}\n"
+                        f"{metrics['confusion_str']}\n\n")
+
+        if cfg.save_best:
+            ckpt.save("latest", state, epoch=epoch, best_dice=best_dice,
+                      config_json=cfg_json, seed=cfg.seed)
+            if best_dice < dice:
+                ckpt.save("best", state, epoch=epoch, best_dice=dice,
+                          config_json=cfg_json, seed=cfg.seed)
+                best_dice = dice
+                print(f"New best model saved at epoch {epoch}, Dice = {dice:.4f}")
+        else:
+            ckpt.save(f"epoch{epoch}", state, epoch=epoch, best_dice=best_dice,
+                      config_json=cfg_json, seed=cfg.seed)
+
+        if early_stopper.step(dice):
+            print(f"Early stopping at epoch {epoch + 1}")
+            break
+
+    total_time = time.time() - start_time
+    print(f"Training time {datetime.timedelta(seconds=int(total_time))}")
+
+    # ---- best-model test-set inference + evaluation (ref:train.py:341-400) --
+    print("Start evaluating best model on test set...")
+    best_kind = "best" if ckpt.exists("best") else "latest"
+    if ckpt.exists(best_kind):
+        state, _ = ckpt.restore(best_kind, state)
+
+    test_index = DatasetIndex(cfg.data.data_path, "test", seq_types,
+                              use_pk_maps=cfg.data.use_pk_maps)
+
+    test_save_dir = os.path.join(cfg.output_dir, f"test_results{tag_suffix}")
+    os.makedirs(test_save_dir, exist_ok=True)
+
+    print("Running inference on test set...")
+    test_metrics = evaluate(
+        state, model,
+        eval_batches_from_index(test_index, cfg.data,
+                                use_pk_maps=cfg.data.use_pk_maps),
+        num_classes, collect_outputs=True)
+
+    for idx, (logits, (image, target)) in enumerate(zip(
+            test_metrics["outputs"],
+            eval_batches_from_index(test_index, cfg.data,
+                                    use_pk_maps=cfg.data.use_pk_maps))):
+        # Unified argmax prediction (SURVEY §3.3: the reference splits
+        # between sigmoid-threshold and argmax; we standardize on argmax
+        # of the softmax, foreground = class 1).
+        pred = np.argmax(logits[0], axis=-1).astype(np.float32)
+        raw = image[0, 0, :, :, 0]
+        tgt = np.where(target[0] == 255, 0, target[0]).astype(np.float32)
+        dice_val, iou_val = compute_metrics(pred, tgt)
+        save_comparison(pred, tgt, raw, test_save_dir,
+                        base_name=cfg.model.model, idx=idx,
+                        dice_score=dice_val, iou_score=iou_val)
+
+    print("Test Set Metrics:")
+    print(test_metrics["confusion_str"])
+    print(f"Dice: {test_metrics['dice']:.4f}")
+    print(f"mIoU: {test_metrics['mean_metrics']['miou']:.4f}")
+    return {"best_dice": best_dice, "test": test_metrics}
+
+
+def run(argv: Optional[Sequence[str]] = None) -> dict:
+    return main(config_lib.parse_config(argv))
+
+
+if __name__ == "__main__":
+    run()

@@ -15,7 +15,9 @@ import numpy as np
 
 
 def confusion_init(num_classes: int) -> jax.Array:
-    return jnp.zeros((num_classes, num_classes), dtype=jnp.int64)
+    # int32 holds ~2e9 pixel counts — ample for any BreaDM-scale eval —
+    # and avoids needing jax_enable_x64.
+    return jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
 
 
 def confusion_update(mat: jax.Array, target: jax.Array, pred: jax.Array) -> jax.Array:

@@ -1,0 +1,142 @@
+"""Data pipeline tests: index scanner fault tolerance, loader batching,
+device augmentation invariants, eval preprocessing parity."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stf_unet_tpu.core.config import DataConfig
+from stf_unet_tpu.data import (DatasetIndex, HostLoader, TrainAugment,
+                               make_synthetic_breadm)
+from stf_unet_tpu.data.loader import load_sample_raw
+from stf_unet_tpu.data.transforms import eval_preprocess
+
+SEQS = tuple(f"VIBRANT+C{i}" for i in range(1, 9))
+
+
+def test_index_finds_all_samples(synthetic_root):
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    assert len(idx) == 4  # 2 patients x 2 slices
+    rec = idx[0]
+    assert len(rec.image_paths) == 8
+    assert os.path.exists(rec.mask_path)
+
+
+def test_index_warn_and_skip(tmp_path, capsys):
+    root = make_synthetic_breadm(str(tmp_path), size=32,
+                                 patients_per_split=2, slices_per_patient=1)
+    shutil.rmtree(os.path.join(root, "seg/training/images/P000/VIBRANT+C3"))
+    os.remove(os.path.join(root, "seg/training/labels/P001/VIBRANT+C1/slice_000.png"))
+    idx = DatasetIndex(root, "train", SEQS)
+    out = capsys.readouterr().out
+    assert "Warning: Sequence VIBRANT+C3 not found for patient P000" in out
+    assert "Warning: No mask found" in out
+    assert len(idx) == 0
+
+
+def test_index_pk_maps_required(tmp_path):
+    root = make_synthetic_breadm(str(tmp_path), size=32, patients_per_split=1,
+                                 slices_per_patient=1, with_pk_maps=False)
+    idx = DatasetIndex(root, "train", SEQS, use_pk_maps=True)
+    assert len(idx) == 0  # no pk_maps dir -> patient skipped (ref:79-89)
+
+
+def test_index_invalid_mode(synthetic_root):
+    with pytest.raises(ValueError):
+        DatasetIndex(synthetic_root, "validation", SEQS)
+
+
+def test_load_sample_raw(synthetic_root):
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    frames, mask, pk = load_sample_raw(idx[0])
+    assert frames.shape == (8, 64, 64) and frames.dtype == np.uint8
+    assert set(np.unique(mask)).issubset({0, 1})  # /255 binarized (ref:166-168)
+    assert pk is None
+
+
+def test_loader_batches_and_padding(synthetic_root):
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    loader = HostLoader(idx, batch_size=3, shuffle=True, seed=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # 4 samples / bs 3 -> 2 (no drop_last)
+    b = batches[0]
+    assert b.frames.shape == (3, 8, 64, 64)
+    assert b.masks.shape == (3, 64, 64)
+    assert b.sizes.tolist() == [[64, 64]] * 3
+
+
+def test_loader_shuffle_is_seeded(synthetic_root):
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    l1 = HostLoader(idx, batch_size=4, shuffle=True, seed=7, prefetch=0)
+    l2 = HostLoader(idx, batch_size=4, shuffle=True, seed=7, prefetch=0)
+    b1 = next(iter(l1.epoch(3)))
+    b2 = next(iter(l2.epoch(3)))
+    np.testing.assert_array_equal(b1.frames, b2.frames)
+
+
+def test_augment_shapes_and_labels():
+    cfg = DataConfig(base_size=48, crop_size=32)
+    aug = TrainAugment(cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 8, 48, 40), dtype=np.uint8)
+    masks = rng.integers(0, 2, (2, 48, 40)).astype(np.uint8)
+    sizes = np.array([[48, 40], [30, 40]], dtype=np.int32)
+    imgs, tgts = aug(jax.random.key(0), jnp.asarray(frames),
+                     jnp.asarray(masks), jnp.asarray(sizes))
+    assert imgs.shape == (2, 8, 32, 32, 1)
+    assert tgts.shape == (2, 32, 32)
+    assert set(np.unique(np.asarray(tgts))).issubset({0, 1})
+
+
+def test_augment_shared_across_frames():
+    """All T frames of one sample get the SAME transform — the deliberate
+    fix of ref:my_dataset.py:173-179's per-frame re-roll."""
+    cfg = DataConfig(base_size=48, crop_size=32, hflip_prob=1.0,
+                     vflip_prob=0.0, rotate_prob=0.0)
+    aug = TrainAugment(cfg)
+    base = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48) % 251
+    frames = np.stack([base] * 8)[None]  # identical frames
+    masks = np.zeros((1, 48, 48), np.uint8)
+    sizes = np.array([[48, 48]], np.int32)
+    imgs, _ = aug(jax.random.key(0), jnp.asarray(frames), jnp.asarray(masks),
+                  jnp.asarray(sizes))
+    arr = np.asarray(imgs)[0, :, :, :, 0]
+    for t in range(1, 8):
+        np.testing.assert_allclose(arr[t], arr[0], atol=1e-5)
+
+
+def test_augment_pk_appended_as_steps():
+    cfg = DataConfig(base_size=48, crop_size=32)
+    aug = TrainAugment(cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (1, 8, 48, 48), dtype=np.uint8)
+    masks = np.zeros((1, 48, 48), np.uint8)
+    sizes = np.array([[48, 48]], np.int32)
+    pk = rng.integers(0, 255, (1, 3, 48, 48), dtype=np.uint8)
+    imgs, _ = aug(jax.random.key(0), jnp.asarray(frames), jnp.asarray(masks),
+                  jnp.asarray(sizes), jnp.asarray(pk))
+    assert imgs.shape == (1, 11, 32, 32, 1)  # 8 frames + 3 pk pseudo-steps
+
+
+def test_eval_preprocess_short_edge_and_mask():
+    from PIL import Image
+    cfg = DataConfig(crop_size=32)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 48, 64), dtype=np.uint8)
+    mask = rng.integers(0, 2, (48, 64)).astype(np.uint8)
+    img, tgt = eval_preprocess(frames, mask, cfg)
+    assert img.shape == (2, 32, 43, 1)  # short edge 48 -> 32, 64*32/48 -> 43
+    assert tgt.shape == (32, 43)
+    # image channel 0 == PIL bilinear of frame 0 (normalized)
+    pil = np.asarray(Image.fromarray(frames[0]).resize((43, 32), Image.BILINEAR))
+    expect = (pil.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
+    # PIL's fixed-point rounding vs our float rounding: <= 1 intensity level
+    one_level = (1.0 / 255.0) / cfg.std
+    np.testing.assert_allclose(img[0, :, :, 0], expect, atol=one_level * 1.01)
+    # mask values still {0,1}
+    assert set(np.unique(tgt)).issubset({0, 1})

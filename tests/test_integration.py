@@ -1,0 +1,91 @@
+"""End-to-end integration (SURVEY.md §4 item 4): synthetic BreaDM tree ->
+train CLI (2 epochs) -> checkpoint -> resume -> eval -> test inference with
+comparison renders -> results file. Tiny model/shapes for 1-core CI."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    root = tmp_path_factory.mktemp("breadm_e2e")
+    return make_synthetic_breadm(str(root), size=48, time_steps=8,
+                                 patients_per_split=1, slices_per_patient=2)
+
+
+def _flags(root, workdir, epochs=2, extra=()):
+    return [
+        "--model", "unet", "--data-path", str(root),
+        "--batch-size", "2", "--epochs", str(epochs),
+        "--model-base-c", "4",
+        "--data-base-size", "40", "--data-crop-size", "32",
+        "--save-dir", os.path.join(workdir, "weights"),
+        "--output-dir", os.path.join(workdir, "output"),
+        "--print-freq", "1",
+        *extra,
+    ]
+
+
+def test_train_cli_end_to_end(tiny_root, tmp_path):
+    from stf_unet_tpu.cli.train import run
+    result = run(_flags(tiny_root, str(tmp_path)))
+    assert 0.0 <= result["test"]["dice"] <= 1.0
+
+    # latest + best checkpoints exist (ref:train.py:315-325 policy)
+    weights = os.listdir(os.path.join(tmp_path, "weights"))
+    assert "unet_latest_model" in weights
+    assert "unet_best_model" in weights
+
+    # results file with the reference's per-epoch block format
+    results = glob.glob(os.path.join(tmp_path, "output", "unet_results_*.txt"))
+    assert len(results) == 1
+    text = open(results[0]).read()
+    assert "[epoch: 0]" in text and "[epoch: 1]" in text
+    assert "train_loss:" in text and "mean_iou:" in text
+
+    # comparison renders for each test sample
+    compares = glob.glob(os.path.join(tmp_path, "output", "test_results",
+                                      "unet_*_compare.png"))
+    assert len(compares) == 2
+
+
+def test_train_cli_resume(tiny_root, tmp_path):
+    from stf_unet_tpu.cli.train import run
+    run(_flags(tiny_root, str(tmp_path), epochs=1))
+    latest = os.path.join(tmp_path, "weights", "unet_latest_model")
+    # resume continues at epoch 1 without retraining epoch 0
+    result = run(_flags(tiny_root, str(tmp_path), epochs=2,
+                        extra=("--resume", latest)))
+    results = glob.glob(os.path.join(tmp_path, "output", "unet_results_*.txt"))
+    text = max(results, key=os.path.getmtime)
+    content = open(text).read()
+    assert "[epoch: 1]" in content
+    assert result is not None
+
+
+def test_test_cli(tiny_root, tmp_path):
+    from stf_unet_tpu.cli.train import run
+    from stf_unet_tpu.cli.test import parse_args, test as run_test
+    run(_flags(tiny_root, str(tmp_path), epochs=1))
+    # test CLI builds its own default-size model; override via train flags is
+    # not part of the reference surface, so monkey-patch the config instead.
+    args = parse_args(["--model", "unet", "--model-dir",
+                       os.path.join(str(tmp_path), "weights"),
+                       "--root", str(tiny_root),
+                       "--output-dir", os.path.join(str(tmp_path), "overlays")])
+    import stf_unet_tpu.cli.test as test_mod
+    from stf_unet_tpu.core.config import ModelConfig
+    orig = ModelConfig
+    try:
+        import functools
+        test_mod.ModelConfig = functools.partial(orig, base_c=4)
+        metrics = run_test(args)
+    finally:
+        test_mod.ModelConfig = orig
+    assert 0.0 <= metrics["dice"] <= 1.0
+    overlays = glob.glob(os.path.join(tmp_path, "overlays", "unet_*.png"))
+    assert len(overlays) == 2
