@@ -120,7 +120,7 @@ class TrainConfig:
         return "_pk" if self.data.use_pk_maps else ""
 
 
-@dataclass
+@dataclass(frozen=True)  # hashable: used as a static jit argument
 class PKConfig:
     """Extended-Tofts fitter config (ref:pk_fitting.py:15-26,257,290-307)."""
 

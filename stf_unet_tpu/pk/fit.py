@@ -1,0 +1,213 @@
+"""Per-voxel extended-Tofts fitting (ref:pk_fitting.py:157-420), TPU-native.
+
+Two solvers over the same quadrature forward model:
+  * fit_adam — behavioral parity with the reference: Adam(lr=0.005),
+    100 updates per voxel, params clamped into the physiological box after
+    every step (ref:290-353). The reference steps Adam over 1024-voxel
+    minibatches; Adam's per-element moments make the full-batch vectorized
+    form equivalent per voxel (same update count, same hyperparameters,
+    gradient scale cancels in Adam's normalizer) — validated by synthetic
+    parameter-recovery tests rather than a bitwise trace.
+  * fit_lm — the fast path: vectorized projected Levenberg-Marquardt with an
+    analytic 3-parameter Jacobian and a closed-form 3x3 solve; converges in
+    ~20 iterations instead of 100 Adam epochs.
+
+Both are jit-compiled once per chunk shape and stream voxel chunks to bound
+the [N, T, Q] working set in HBM.
+
+Documented divergence: the reference divides by 255 twice (once in
+process_patient ref:662, again in preprocess_images ref:173), fitting
+curves in [0, 1.5e-5] where every parameter collapses toward its
+initialization. We normalize exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stf_unet_tpu.core.config import PKConfig
+from stf_unet_tpu.pk.tofts import ToftsQuadrature, extended_tofts_batch
+
+CHUNK = 16384
+
+
+def tissue_mask_morphology(mask, kernel: int = 5) -> np.ndarray:
+    """Binary open then close with a kernel x kernel window
+    (ref:pk_fitting.py:184-186) via scipy's C min/max filters.
+
+    Border semantics match cv2.morphologyEx defaults: erode pads with 1,
+    dilate pads with 0 (the border never spuriously grows/shrinks the mask).
+    Host-side on purpose: it is a one-shot tiny preprocessing step, and a
+    reduce_window formulation costs a multi-minute XLA compile per new
+    image shape for zero runtime benefit.
+    """
+    from scipy import ndimage
+
+    m = np.asarray(mask).astype(np.uint8)
+
+    def erode(x):
+        return ndimage.minimum_filter(x, size=kernel, mode="constant", cval=1)
+
+    def dilate(x):
+        return ndimage.maximum_filter(x, size=kernel, mode="constant", cval=0)
+
+    opened = dilate(erode(m))
+    closed = erode(dilate(opened))
+    return closed > 0
+
+
+def preprocess_images(images: np.ndarray, cfg: PKConfig
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (normalized [T, H, W] float32 in [0,1], tissue mask [H, W] bool).
+
+    Tissue mask: first_frame > 0.15 * mean(first_frame), then morphological
+    open/close (ref:157-191). Accepts uint8 [0,255] or float already in [0,1];
+    normalizes exactly once (see module docstring).
+    """
+    imgs = np.asarray(images, dtype=np.float32)
+    if imgs.max() > 1.5:
+        imgs = imgs / 255.0
+    first = imgs[0]
+    threshold = float(first.mean()) * cfg.tissue_threshold_factor
+    mask = tissue_mask_morphology(first > threshold)
+    return jnp.asarray(imgs), jnp.asarray(mask)
+
+
+def _clamp(params: jax.Array, cfg: PKConfig) -> jax.Array:
+    """Project into the physiological box (ref:303-307)."""
+    lo = jnp.asarray([cfg.ktrans_bounds[0], cfg.ve_bounds[0], cfg.vp_bounds[0]])
+    hi = jnp.asarray([cfg.ktrans_bounds[1], cfg.ve_bounds[1], cfg.vp_bounds[1]])
+    return jnp.clip(params, lo, hi)
+
+
+def _init_params(n: int, cfg: PKConfig) -> jax.Array:
+    return jnp.broadcast_to(
+        jnp.asarray([cfg.init_ktrans, cfg.init_ve, cfg.init_vp],
+                    jnp.float32), (n, 3))
+
+
+# ---------------------------------------------------------------------------
+# Adam solver (reference parity)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
+    quad = quad_tree
+    n = curves.shape[0]
+    params = _init_params(n, cfg)
+
+    # Adam with torch defaults (betas 0.9/0.999, eps 1e-8; ref uses
+    # torch.optim.Adam(lr=0.005), ref:300).
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def mse_grad(params):
+        def loss_fn(p):
+            pred = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2])
+            return jnp.mean((pred - curves) ** 2)
+        return jax.grad(loss_fn)(params)
+
+    def step(carry, i):
+        params, m, v = carry
+        g = mse_grad(params)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        t = i + 1
+        mhat = m / (1 - b1 ** t)
+        vhat = v / (1 - b2 ** t)
+        params = params - cfg.lr * mhat / (jnp.sqrt(vhat) + eps)
+        params = _clamp(params, cfg)
+        return (params, m, v), None
+
+    init = (params, jnp.zeros_like(params), jnp.zeros_like(params))
+    (params, _, _), _ = jax.lax.scan(
+        step, init, jnp.arange(cfg.num_epochs, dtype=jnp.float32))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Levenberg-Marquardt solver (fast path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
+    quad = quad_tree
+    n, t_steps = curves.shape
+    params = _init_params(n, cfg)
+
+    def residuals(p):
+        pred = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2])
+        return pred - curves  # [N, T]
+
+    def res_and_jac(p):
+        # Forward-mode JVPs along the 3 parameter directions: [N, T, 3].
+        r = residuals(p)
+        basis = jnp.eye(3, dtype=p.dtype)
+        jac = jnp.stack(
+            [jax.jvp(residuals, (p,), (jnp.broadcast_to(b, p.shape),))[1]
+             for b in basis], axis=-1)
+        return r, jac
+
+    def cost(p):
+        r = residuals(p)
+        return jnp.sum(r * r, axis=1)  # [N]
+
+    def step(carry, _):
+        p, lam = carry
+        r, jac = res_and_jac(p)
+        jtj = jnp.einsum("nti,ntj->nij", jac, jac)       # [N,3,3]
+        jtr = jnp.einsum("nti,nt->ni", jac, r)           # [N,3]
+        damped = jtj + lam[:, None, None] * jnp.eye(3)[None]
+        delta = jnp.linalg.solve(
+            damped + 1e-12 * jnp.eye(3)[None], -jtr[..., None])[..., 0]
+        cand = _clamp(p + delta, cfg)
+        improved = cost(cand) < cost(p)
+        p_next = jnp.where(improved[:, None], cand, p)
+        lam_next = jnp.where(improved, lam * 0.5, lam * 4.0)
+        lam_next = jnp.clip(lam_next, 1e-8, 1e8)
+        return (p_next, lam_next), None
+
+    lam0 = jnp.full((n,), 1e-3, jnp.float32)
+    (params, _), _ = jax.lax.scan(step, (params, lam0), None,
+                                  length=cfg.lm_iters)
+    return params
+
+
+def _fit_chunked(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig,
+                 chunk_fn: Callable) -> np.ndarray:
+    n = curves.shape[0]
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    out = []
+    for start in range(0, n, CHUNK):
+        chunk = curves[start:start + CHUNK]
+        pad = CHUNK - chunk.shape[0] if n > CHUNK else 0
+        if pad > 0:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        fitted = np.asarray(chunk_fn(jnp.asarray(chunk), quad, cfg))
+        out.append(fitted[:chunk.shape[0] - pad] if pad else fitted)
+    return np.concatenate(out, axis=0)
+
+
+def fit_adam(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig) -> np.ndarray:
+    """[N, T] signal curves -> [N, 3] (Ktrans, ve, vp), Adam parity path."""
+    return _fit_chunked(curves, quad, cfg, _adam_fit_chunk)
+
+
+def fit_lm(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig) -> np.ndarray:
+    """[N, T] signal curves -> [N, 3], projected Levenberg-Marquardt."""
+    return _fit_chunked(curves, quad, cfg, _lm_fit_chunk)
+
+
+def convert_signal_to_concentration(signal: jax.Array,
+                                    baseline_indices=(0,)) -> jax.Array:
+    """Relative enhancement (S - S0)/S0 (ref:131-155; defined but unused by
+    the reference fit path — provided for completeness)."""
+    baseline = jnp.mean(signal[:, jnp.asarray(baseline_indices)], axis=1,
+                        keepdims=True)
+    return (signal - baseline) / (baseline + 1e-6)

@@ -1,0 +1,176 @@
+"""PK parameter-map generation over the BreaDM dataset
+(ref:pk_fitting.py:233-420 saving, :605-730 dataset drivers).
+
+Writes `<root>/seg/<split>/pk_maps/<patient>/{ktrans,ve,vp}.png` (+ raw .npy,
+heatmaps, combined RGB) — the exact artifact contract DriveDataset and the
+index scanner consume (ref:my_dataset.py:198-227).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from stf_unet_tpu.core.config import PKConfig
+from stf_unet_tpu.pk.aif import auto_detect_aif, make_aif
+from stf_unet_tpu.pk.fit import fit_adam, fit_lm, preprocess_images
+from stf_unet_tpu.pk.tofts import ToftsQuadrature
+
+PARAM_NAMES = ("ktrans", "ve", "vp")
+
+
+def fit_volume(images: np.ndarray, cfg: PKConfig,
+               output_dir: Optional[str] = None) -> np.ndarray:
+    """[T, H, W] signal volume -> [3, H, W] (Ktrans, ve, vp) maps
+    (ref:fit_volume_gpu, pk_fitting.py:233-420)."""
+    t_steps, height, width = images.shape
+    t0 = time.time()
+    imgs, tissue_mask = preprocess_images(images, cfg)
+    mask_np = np.asarray(tissue_mask)
+
+    pixels = np.asarray(imgs).transpose(1, 2, 0).reshape(-1, t_steps)
+    valid = pixels[mask_np.reshape(-1)]
+    print(f"total pixels: {height * width}, valid pixels: {valid.shape[0]} "
+          f"(preprocess {time.time() - t0:.2f}s)")
+
+    aif = make_aif(cfg.aif_method, cfg.aif_dose)
+    if cfg.aif_method == "auto":
+        aif, pos = auto_detect_aif(np.asarray(imgs), mask_np,
+                                   np.asarray(cfg.time_points))
+        print(f"auto AIF voxel at {pos}")
+    quad = ToftsQuadrature.build(cfg.time_points, aif, cfg.dt)
+
+    t0 = time.time()
+    solver = fit_lm if cfg.solver == "lm" else fit_adam
+    fitted = solver(valid, quad, cfg)  # [Nvalid, 3]
+    print(f"fit ({cfg.solver}) done in {time.time() - t0:.2f}s")
+
+    param_maps = np.zeros((3, height * width), np.float32)
+    param_maps[:, mask_np.reshape(-1)] = fitted.T
+    param_maps = param_maps.reshape(3, height, width)
+
+    if output_dir is not None:
+        save_param_maps(param_maps, output_dir)
+    return param_maps
+
+
+def _percentile_normalize(param_map: np.ndarray) -> np.ndarray:
+    """Percentile-1/99 clip + [0,255] scale (ref:393-400)."""
+    if np.max(param_map) > 0:
+        positive = param_map[param_map > 0]
+        p_min, p_max = np.percentile(positive, [1, 99])
+        if p_max <= p_min:
+            p_max = p_min + 1e-6
+        norm = np.clip(param_map, p_min, p_max)
+        return ((norm - p_min) / (p_max - p_min) * 255).astype(np.uint8)
+    return np.zeros_like(param_map, dtype=np.uint8)
+
+
+def save_param_maps(param_maps: np.ndarray, output_dir: str,
+                    heatmaps: bool = False) -> None:
+    """PNG + raw .npy per parameter, plus the combined RGB map
+    (ref:380-418, 568-602)."""
+    os.makedirs(output_dir, exist_ok=True)
+    for i, name in enumerate(PARAM_NAMES):
+        Image.fromarray(_percentile_normalize(param_maps[i])).save(
+            os.path.join(output_dir, f"{name}.png"))
+        np.save(os.path.join(output_dir, f"{name}_raw.npy"), param_maps[i])
+        if heatmaps:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            cmaps = {"ktrans": "hot", "ve": "cool", "vp": "spring"}
+            plt.figure(figsize=(8, 6))
+            plt.imshow(param_maps[i], cmap=cmaps[name])
+            plt.colorbar(label=name)
+            plt.title(f"{name.upper()} Parameter Map")
+            plt.savefig(os.path.join(output_dir, f"{name}_heatmap.png"))
+            plt.close()
+
+    combined = np.zeros(param_maps.shape[1:] + (3,), np.float32)
+    for i in range(3):
+        combined[..., i] = _percentile_normalize(param_maps[i]) / 255.0
+    Image.fromarray((combined * 255).astype(np.uint8)).save(
+        os.path.join(output_dir, "combined_map.png"))
+
+
+def process_patient(patient_path: str, output_base_dir: str,
+                    cfg: Optional[PKConfig] = None) -> Optional[np.ndarray]:
+    """Fit the first slice of each SUB1..8 sequence for one patient
+    (ref:605-670)."""
+    cfg = cfg or PKConfig()
+    patient_id = os.path.basename(patient_path)
+    print(f"processing patient: {patient_id}")
+    output_dir = os.path.join(output_base_dir, patient_id)
+
+    frames = []
+    for i in range(1, 9):
+        sub = os.path.join(patient_path, f"SUB{i}")
+        if not os.path.exists(sub):
+            print(f"warning: {sub} missing")
+            continue
+        files = sorted(f for f in os.listdir(sub)
+                       if f.endswith((".jpg", ".png")))
+        if not files:
+            print(f"warning: no images in {sub}")
+            continue
+        with Image.open(os.path.join(sub, files[0])) as im:
+            frames.append(np.asarray(im.convert("L"), np.uint8))
+    if not frames:
+        print(f"error: no valid subtraction images in {patient_path}")
+        return None
+
+    maps = fit_volume(np.stack(frames), cfg, output_dir)
+    print(f"PK maps for patient {patient_id} saved to {output_dir}")
+    return maps
+
+
+def process_dataset(dataset_path: str, split: str = "training",
+                    cfg: Optional[PKConfig] = None) -> None:
+    """All patients of one split (ref:673-696)."""
+    images_dir = os.path.join(dataset_path, "seg", split, "images")
+    output_base = os.path.join(dataset_path, "seg", split, "pk_maps")
+    os.makedirs(output_base, exist_ok=True)
+    patients = sorted(p for p in os.listdir(images_dir)
+                      if os.path.isdir(os.path.join(images_dir, p)))
+    print(f"found {len(patients)} patients")
+    for patient in patients:
+        process_patient(os.path.join(images_dir, patient), output_base, cfg)
+
+
+def generate_pk_maps_for_dataset(dataset_path: str,
+                                 splits: Optional[Sequence[str]] = None,
+                                 cfg: Optional[PKConfig] = None
+                                 ) -> Dict[str, str]:
+    """All splits (ref:699-722); hooked into training via
+    --generate-pk-maps (ref:train.py:165-169)."""
+    splits = splits or ["training", "val", "test"]
+    out = {}
+    for split in splits:
+        print(f"generating PK maps for {split}...")
+        process_dataset(dataset_path, split, cfg)
+        out[split] = os.path.join(dataset_path, "seg", split, "pk_maps")
+    return out
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="Extended-Tofts PK map generation")
+    ap.add_argument("dataset_path")
+    ap.add_argument("--splits", type=str, default="training,val,test")
+    ap.add_argument("--aif-method", type=str, default="population",
+                    choices=["population", "modified", "auto"])
+    ap.add_argument("--solver", type=str, default="lm",
+                    choices=["lm", "adam"])
+    args = ap.parse_args(argv)
+    cfg = PKConfig(aif_method=args.aif_method, solver=args.solver)
+    generate_pk_maps_for_dataset(args.dataset_path,
+                                 args.splits.split(","), cfg)
+
+
+if __name__ == "__main__":
+    main()
