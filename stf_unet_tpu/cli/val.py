@@ -1,0 +1,160 @@
+"""Standalone validation CLI with YAML config override + device timing
+(the capability behind the reference's legacy val.py — SURVEY §3.5: config
+file with write-back of defaults ref:val.py:47-70, per-batch device timing
+meter ref:val.py:136-156, thresholded IoU/Dice averages, prediction dumps).
+
+Usage: python -m stf_unet_tpu.cli.val --model-path <ckpt dir> --root <BreaDM>
+       [--config ./config.yml] [--name validation]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import yaml
+
+from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.metrics.binary import iou_score
+from stf_unet_tpu.metrics.confusion import confusion_report, format_confusion
+from stf_unet_tpu.metrics.meters import AverageMeter
+from stf_unet_tpu.models.registry import create_model
+from stf_unet_tpu.train.checkpoint import CheckpointManager
+from stf_unet_tpu.train.loop import eval_batches_from_index
+from stf_unet_tpu.train.schedule import warmup_poly_schedule
+from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+DEFAULT_CONFIG = {
+    "arch": "stflstm",
+    "num_classes": 1,
+    "input_channels": 1,
+    "time_steps": 8,
+    "base_c": 64,
+    "crop_size": 224,
+    "batch_size": 1,
+    "use_subtraction": False,
+    "use_pk_maps": False,
+}
+
+
+def load_or_create_config(path: str) -> dict:
+    """Read config YAML; create it with defaults when missing
+    (ref:val.py:47-70 write-back behavior)."""
+    config = dict(DEFAULT_CONFIG)
+    try:
+        with open(path) as f:
+            config.update(yaml.safe_load(f) or {})
+    except FileNotFoundError:
+        print("Config file not found, using default configuration.")
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(config, f)
+    return config
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    ap = argparse.ArgumentParser(description="STF-UNet TPU validation")
+    ap.add_argument("--model-path", type=str, default="./save_weights")
+    ap.add_argument("--root", type=str, default="./BreaDM")
+    ap.add_argument("--config", type=str, default="./config.yml")
+    ap.add_argument("--name", type=str, default="validation")
+    ap.add_argument("--split", type=str, default="val",
+                    choices=["train", "val", "test"])
+    args = ap.parse_args(argv)
+
+    config = load_or_create_config(args.config)
+
+    import jax
+    import jax.numpy as jnp
+
+    data_cfg = DataConfig(data_path=args.root,
+                          crop_size=int(config["crop_size"]),
+                          use_subtraction=bool(config["use_subtraction"]),
+                          use_pk_maps=bool(config["use_pk_maps"]))
+    seqs = data_cfg.resolved_sequence_types
+    model_cfg = ModelConfig(model=str(config["arch"]),
+                            num_classes=int(config["num_classes"]),
+                            time_steps=len(seqs),
+                            base_c=int(config["base_c"]),
+                            use_pk_maps=bool(config["use_pk_maps"]))
+    model = create_model(model_cfg)
+
+    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
+    t_total = len(seqs) + (3 if data_cfg.use_pk_maps else 0)
+    sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
+    state = create_train_state(jax.random.key(0), model_cfg, optim, sample)
+
+    ckpt = CheckpointManager(args.model_path, model_cfg.model,
+                             "_pk" if data_cfg.use_pk_maps else "")
+    kind = "best" if ckpt.exists("best") else "latest"
+    print(f"Loading model from {ckpt._path(kind)}")
+    state, _ = ckpt.restore(kind, state)
+    variables = state.variables()
+
+    index = DatasetIndex(args.root, args.split, seqs,
+                         use_pk_maps=data_cfg.use_pk_maps)
+
+    iou_avg = AverageMeter()
+    dice_avg = AverageMeter()
+    devt = AverageMeter()  # per-batch device time (ref:val.py:151-156 'gput')
+
+    from stf_unet_tpu.metrics.confusion import confusion_init, confusion_update
+    from stf_unet_tpu.models.registry import preprocess_input
+    conf = confusion_init(model_cfg.total_classes)
+
+    fwd_cache = {}
+    os.makedirs(os.path.join("outputs", args.name, "0"), exist_ok=True)
+
+    print("Starting validation...")
+    for i, (image, target) in enumerate(eval_batches_from_index(
+            index, data_cfg, use_pk_maps=data_cfg.use_pk_maps,
+            batch_size=int(config["batch_size"]))):
+        image_j = jnp.asarray(image)
+        shape = tuple(image_j.shape)
+        if shape not in fwd_cache:
+            fwd_cache[shape] = jax.jit(
+                lambda v, x: model.apply(v, preprocess_input(x, model),
+                                         train=False)["out"])
+            fwd_cache[shape](variables, image_j).block_until_ready()  # compile
+        fwd = fwd_cache[shape]
+        t0 = time.perf_counter()
+        logits = fwd(variables, image_j)
+        logits.block_until_ready()
+        devt.update(time.perf_counter() - t0)
+
+        logits_np = np.asarray(logits)
+        pred = np.argmax(logits_np, axis=-1)
+        iou, dice = iou_score(logits_np[..., 1] - logits_np[..., 0],
+                              (np.asarray(target) == 1))
+        iou_avg.update(iou, image.shape[0])
+        dice_avg.update(dice, image.shape[0])
+        conf = confusion_update(conf, jnp.asarray(target), jnp.asarray(pred))
+
+        from PIL import Image
+        for b in range(pred.shape[0]):
+            Image.fromarray((pred[b] * 255).astype(np.uint8)).save(
+                os.path.join("outputs", args.name, "0",
+                             f"{i * int(config['batch_size']) + b:04d}.jpg"))
+
+    mat = np.asarray(conf)
+    report = confusion_report(mat)
+    print("=" * 50)
+    print("Validation Results:")
+    print(f"IoU: {iou_avg.avg:.4f}")
+    print(f"Dice: {dice_avg.avg:.4f}")
+    print(f"Accuracy: {report['global_accuracy']:.4f}")
+    print(f"Average device time: {devt.avg:.4f}s")
+    print(format_confusion(mat))
+    print("=" * 50)
+    return {"iou": iou_avg.avg, "dice": dice_avg.avg,
+            "device_time": devt.avg, "report": report}
+
+
+if __name__ == "__main__":
+    main()
