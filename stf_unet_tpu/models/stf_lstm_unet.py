@@ -47,9 +47,13 @@ class PixelLSTM(nn.Module):
     torch nn.LSTM init: uniform(-k, k) with k = 1/sqrt(hidden)
     (ref:src/stf_lstm_unet.py:124-127). b_ih and b_hh are kept separate for
     weight-import parity; they fold into one bias at apply time.
+
+    lstm_backend: 'auto' routes to the fused Pallas kernel on TPU
+    (ops/pallas/lstm_kernel.py) and lax.scan elsewhere.
     """
 
     features: int
+    lstm_backend: str = "auto"
 
     @nn.compact
     def __call__(self, feat_seq: jax.Array) -> jax.Array:
@@ -66,7 +70,7 @@ class PixelLSTM(nn.Module):
         b_hh = self.param("b_hh", centered, (4 * c,), jnp.float32)
         dt = feat_seq.dtype
         return pixel_lstm(feat_seq, w_ih.astype(dt), w_hh.astype(dt),
-                          (b_ih + b_hh).astype(dt))
+                          (b_ih + b_hh).astype(dt), backend=self.lstm_backend)
 
 
 class STFLSTMUNet(nn.Module):
@@ -77,6 +81,7 @@ class STFLSTMUNet(nn.Module):
     use_pk_maps: bool = False
     pk_channels: int = 3
     dtype: Any = None
+    lstm_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
@@ -127,10 +132,10 @@ class STFLSTMUNet(nn.Module):
         def unfold(feat):
             return feat.reshape(bsz, t_steps, *feat.shape[1:])
 
-        f1 = PixelLSTM(_SCALE_WIDTHS[0], name="lstm1")(unfold(e1))
-        f2 = PixelLSTM(_SCALE_WIDTHS[1], name="lstm2")(unfold(e2))
-        f3 = PixelLSTM(_SCALE_WIDTHS[2], name="lstm3")(unfold(e3))
-        f4 = PixelLSTM(_SCALE_WIDTHS[3], name="lstm4")(unfold(e4))
+        f1 = PixelLSTM(_SCALE_WIDTHS[0], self.lstm_backend, name="lstm1")(unfold(e1))
+        f2 = PixelLSTM(_SCALE_WIDTHS[1], self.lstm_backend, name="lstm2")(unfold(e2))
+        f3 = PixelLSTM(_SCALE_WIDTHS[2], self.lstm_backend, name="lstm3")(unfold(e3))
+        f4 = PixelLSTM(_SCALE_WIDTHS[3], self.lstm_backend, name="lstm4")(unfold(e4))
 
         d4 = DecoderBlock(256, dtype=self.dtype, name="decoder4")(f4, f3, train=train)
         d3 = DecoderBlock(128, dtype=self.dtype, name="decoder3")(d4, f2, train=train)

@@ -69,13 +69,32 @@ def lstm_scan(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
 
 
 def pixel_lstm(feat_seq: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
-               b: Optional[jax.Array]) -> jax.Array:
+               b: Optional[jax.Array], backend: str = "auto") -> jax.Array:
     """Temporal fusion of per-scale encoder features.
 
     feat_seq: [B, T, H, W, C] (NHWC per frame) -> [B, H, W, C]: last LSTM
     step per pixel (ref:src/stf_lstm_unet.py:216-242).
+
+    backend: 'auto' (pallas on TPU, scan elsewhere), 'scan', 'pallas', or
+    'pallas_interpret' (CPU-testable kernel emulation).
     """
     bsz, t, h, w, c = feat_seq.shape
     lanes = feat_seq.transpose(1, 0, 2, 3, 4).reshape(t, bsz * h * w, c)
-    out = lstm_scan(lanes, w_ih, w_hh, b)
+    if backend == "auto":
+        from stf_unet_tpu.ops.pallas.lstm_kernel import lstm_backend_default
+        backend = lstm_backend_default()
+    if backend in ("pallas", "pallas_interpret"):
+        from stf_unet_tpu.ops.pallas.lstm_kernel import fused_lstm_sequence
+        x_proj = jnp.einsum("tnc,cd->tnd", lanes, w_ih,
+                            preferred_element_type=lanes.dtype)
+        if b is not None:
+            # bias folded into the kernel; pass zeros otherwise
+            bias = b
+        else:
+            bias = jnp.zeros((4 * c,), lanes.dtype)
+        h_seq = fused_lstm_sequence(x_proj, w_hh, bias,
+                                    interpret=backend == "pallas_interpret")
+        out = h_seq[-1]
+    else:
+        out = lstm_scan(lanes, w_ih, w_hh, b)
     return out.reshape(bsz, h, w, c)
