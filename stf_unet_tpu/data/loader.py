@@ -94,7 +94,7 @@ class HostLoader:
     def __init__(self, index: DatasetIndex, batch_size: int, *,
                  shuffle: bool, seed: int = 0, use_pk_maps: bool = False,
                  drop_last: bool = False, canvas_multiple: int = 32,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_native: Optional[bool] = None):
         self.index = index
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -103,6 +103,10 @@ class HostLoader:
         self.drop_last = drop_last
         self.canvas_multiple = canvas_multiple
         self.prefetch = prefetch
+        if use_native is None:
+            from stf_unet_tpu.data import native_loader
+            use_native = native_loader.native_available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.index)
@@ -111,6 +115,8 @@ class HostLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, recs: List[SampleRecord]) -> Batch:
+        if self.use_native:
+            return self._make_batch_native(recs)
         samples = [load_sample_raw(r, self.use_pk_maps) for r in recs]
         sizes = np.asarray([s[0].shape[1:] for s in samples], dtype=np.int32)
         cm = self.canvas_multiple
@@ -121,6 +127,40 @@ class HostLoader:
         pk = None
         if self.use_pk_maps:
             pk = _pad_canvas([s[2] for s in samples], (ch, cw), fill=0)
+        return Batch(frames=frames, masks=masks, pk=pk, sizes=sizes)
+
+    def _make_batch_native(self, recs: List[SampleRecord]) -> Batch:
+        """Native C++ decode/pack path (data/native_loader.py): header-probe
+        sizes, then one threaded decode call per tensor kind."""
+        from stf_unet_tpu.data import native_loader
+
+        b = len(recs)
+        t_steps = len(recs[0].image_paths)
+        probed = [native_loader.image_size(r.image_paths[0]) or (0, 0)
+                  for r in recs]
+        cm = self.canvas_multiple
+        ch = int(-(-max(h for h, _ in probed) // cm) * cm)
+        cw = int(-(-max(w for _, w in probed) // cm) * cm)
+
+        frame_paths = [p for r in recs for p in r.image_paths]
+        canvas, fsizes = native_loader.decode_batch(frame_paths, ch, cw, fill=0)
+        frames = canvas.reshape(b, t_steps, ch, cw)
+        sizes = fsizes.reshape(b, t_steps, 2)[:, 0, :].copy()
+
+        mask_canvas, msizes = native_loader.decode_batch(
+            [r.mask_path for r in recs], ch, cw, fill=0)
+        masks = np.full((b, ch, cw), 255, dtype=np.uint8)
+        for i in range(b):
+            h, w = msizes[i]
+            # /255 binarization (ref:my_dataset.py:166-168); padding stays 255
+            masks[i, :h, :w] = (mask_canvas[i, :h, :w] >= 128).astype(np.uint8)
+
+        pk = None
+        if self.use_pk_maps:
+            pk_paths = [f"{r.pk_maps_path}/{n}.png"
+                        for r in recs for n in PK_PARAM_NAMES]
+            pk_canvas, _ = native_loader.decode_batch(pk_paths, ch, cw, fill=0)
+            pk = pk_canvas.reshape(b, 3, ch, cw)
         return Batch(frames=frames, masks=masks, pk=pk, sizes=sizes)
 
     def epoch(self, epoch_num: int = 0) -> Iterator[Batch]:
