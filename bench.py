@@ -54,25 +54,38 @@ def measure_ours() -> float:
 
     for _ in range(WARMUP):
         state, loss, _ = step(state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)  # block_until_ready is unreliable on the tunneled axon
+    # platform; materializing the loss value forces completion of the whole
+    # dependency chain.
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss, _ = step(state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 
 
 def measure_reference_cpu() -> float:
     """Run the reference's own UNet + loss on torch CPU, same workload."""
+    import importlib.util
+
     import numpy as np
     import torch
 
-    sys.path.insert(0, "/root/reference")
-    from src.unet import UNet  # reference model, invoked not copied
+    def load_ref(name, rel):
+        # Load module files directly: the reference packages' __init__ pulls
+        # in torchvision, which this image lacks.
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join("/root/reference", rel))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    ref_unet = load_ref("ref_unet", "src/unet.py")
+    ref_dice = load_ref("ref_dice", "train_utils/dice_coefficient_loss.py")
 
     torch.manual_seed(0)
-    model = UNet(in_channels=T_FRAMES, num_classes=2)
+    model = ref_unet.UNet(in_channels=T_FRAMES, num_classes=2)
     model.train()
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-4)
 
@@ -82,7 +95,14 @@ def measure_reference_cpu() -> float:
     y = torch.tensor(rng.integers(0, 2, (BATCH, CROP, CROP)),
                      dtype=torch.int64)
 
-    from train_utils.train_and_eval import criterion  # reference loss
+    def criterion(outputs, target):
+        # the reference training loss: CE + multiclass dice
+        # (ref:train_utils/train_and_eval.py:299-313), via the reference's
+        # own dice implementation
+        loss = torch.nn.functional.cross_entropy(outputs["out"], target)
+        dice_target = ref_dice.build_target(target, 2)
+        return loss + ref_dice.dice_loss(outputs["out"], dice_target,
+                                         multiclass=True)
 
     iters = 3
     times = []

@@ -47,13 +47,22 @@ def main(cfg: TrainConfig) -> dict:
     tag_suffix = cfg.tag_suffix
 
     results_file: Optional[str] = None
+    jsonl = None
     if not cfg.silent:
         os.makedirs(cfg.output_dir, exist_ok=True)
+        stamp = datetime.datetime.now().strftime("%m%d-%H%M")
         results_file = os.path.join(
             cfg.output_dir,
-            "{}_results_{}{}.txt".format(
-                cfg.model.model, datetime.datetime.now().strftime("%m%d-%H%M"),
-                tag_suffix))
+            f"{cfg.model.model}_results_{stamp}{tag_suffix}.txt")
+        if cfg.jsonl_metrics:
+            from stf_unet_tpu.utils.profiling import JsonlLogger
+            jsonl = JsonlLogger(os.path.join(
+                cfg.output_dir,
+                f"{cfg.model.model}_metrics_{stamp}{tag_suffix}.jsonl"))
+
+    if cfg.nan_check:
+        jax.config.update("jax_debug_nans", True)
+        print("NaN sanitizer enabled (jax_debug_nans)")
 
     if cfg.generate_pk_maps:
         print("Generating PK parameter maps...")
@@ -128,9 +137,16 @@ def main(cfg: TrainConfig) -> dict:
     for epoch in range(start_epoch, cfg.epochs):
         if cfg.test_only:
             break
-        state, mean_loss, lr = train_one_epoch(
-            state, train_step, loader, augment, key, epoch, mesh=mesh,
-            print_freq=cfg.print_freq)
+        if cfg.profile_dir and epoch == start_epoch:
+            from stf_unet_tpu.utils.profiling import trace
+            with trace(cfg.profile_dir):
+                state, mean_loss, lr = train_one_epoch(
+                    state, train_step, loader, augment, key, epoch, mesh=mesh,
+                    print_freq=cfg.print_freq)
+        else:
+            state, mean_loss, lr = train_one_epoch(
+                state, train_step, loader, augment, key, epoch, mesh=mesh,
+                print_freq=cfg.print_freq)
 
         metrics = evaluate(
             state, model,
@@ -145,6 +161,11 @@ def main(cfg: TrainConfig) -> dict:
         print(f"Mean precision: {metrics['mean_metrics']['mprecision']:.4f}")
         print(f"Mean recall: {metrics['mean_metrics']['mrecall']:.4f}")
 
+        if jsonl is not None:
+            jsonl.log({"epoch": epoch, "train_loss": mean_loss, "lr": lr,
+                       "dice": dice,
+                       "global_acc": metrics["global_accuracy"],
+                       **metrics["mean_metrics"]})
         if results_file:
             # Per-epoch results block (ref:train.py:288-301 format).
             with open(results_file, "a") as f:

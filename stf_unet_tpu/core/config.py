@@ -63,6 +63,9 @@ class ModelConfig:
     base_c: int = 64  # vanilla UNet width (ref:src/unet.py:7)
     use_pk_maps: bool = False
     pk_channels: int = 3
+    # TPU execution knobs (stflstm only).
+    lstm_backend: str = "auto"  # {"auto", "scan", "pallas"}
+    remat: bool = False         # rematerialize encoder activations
 
     @property
     def total_classes(self) -> int:
@@ -114,6 +117,12 @@ class TrainConfig:
     # (ref:train.py:70-74); pad to multiples of this bucket to bound
     # recompilation. Padding uses the 255 ignore label (ref:my_dataset.py:243).
     eval_pad_multiple: int = 32
+    # Observability (SURVEY §5): structured JSONL metrics alongside the
+    # parity results .txt; optional profiler trace of the first train steps;
+    # jax_debug_nans-style sanitizer for the jit'd step.
+    jsonl_metrics: bool = True
+    profile_dir: str = ""
+    nan_check: bool = False
 
     @property
     def tag_suffix(self) -> str:

@@ -94,7 +94,8 @@ class HostLoader:
     def __init__(self, index: DatasetIndex, batch_size: int, *,
                  shuffle: bool, seed: int = 0, use_pk_maps: bool = False,
                  drop_last: bool = False, canvas_multiple: int = 32,
-                 prefetch: int = 2, use_native: Optional[bool] = None):
+                 prefetch: int = 2, use_native: Optional[bool] = None,
+                 host_index: int = 0, num_hosts: int = 1):
         self.index = index
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -107,9 +108,12 @@ class HostLoader:
             from stf_unet_tpu.data import native_loader
             use_native = native_loader.native_available()
         self.use_native = use_native
+        self.host_index = host_index
+        self.num_hosts = num_hosts
 
     def __len__(self) -> int:
-        n = len(self.index)
+        n = len(self.index) // self.num_hosts if self.num_hosts > 1 \
+            else len(self.index)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -168,6 +172,11 @@ class HostLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch_num)
             rng.shuffle(order)
+        if self.num_hosts > 1:
+            # Per-host dataset sharding for multi-host meshes (SURVEY §2.8):
+            # every host draws the SAME seeded permutation, then takes its
+            # strided slice — disjoint cover, no coordination traffic.
+            order = order[self.host_index::self.num_hosts]
         if self.drop_last:
             order = order[: len(self) * self.batch_size]
 

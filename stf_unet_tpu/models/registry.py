@@ -28,6 +28,8 @@ def create_model(cfg: ModelConfig, dtype: Any = None) -> nn.Module:
             use_pk_maps=cfg.use_pk_maps,
             pk_channels=cfg.pk_channels,
             dtype=dtype,
+            lstm_backend=cfg.lstm_backend,
+            remat=cfg.remat,
         )
     if cfg.model == "unet":
         return UNet(num_classes=cfg.total_classes, base_c=cfg.base_c, dtype=dtype)

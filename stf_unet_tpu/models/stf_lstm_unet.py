@@ -82,6 +82,10 @@ class STFLSTMUNet(nn.Module):
     pk_channels: int = 3
     dtype: Any = None
     lstm_backend: str = "auto"
+    # Rematerialize the encoder in the backward pass: at B*T folded batch
+    # the ResNet activations dominate HBM; remat trades ~1 extra forward
+    # for O(scales) activation memory (SURVEY §2.9 / jax.checkpoint).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
@@ -106,8 +110,12 @@ class STFLSTMUNet(nn.Module):
 
         # Fold time into batch; ONE encoder pass for all frames.
         folded = x.reshape(bsz * t_steps, height, width, x.shape[-1])
-        e1, e2, e3, e4 = ResNet34Encoder(dtype=self.dtype, name="encoder")(
-            folded, train=train)
+        encoder = ResNet34Encoder(dtype=self.dtype, name="encoder")
+        if self.remat:
+            e1, e2, e3, e4 = nn.remat(
+                lambda mdl, xx: mdl(xx, train=train))(encoder, folded)
+        else:
+            e1, e2, e3, e4 = encoder(folded, train=train)
 
         if pk_maps is not None:
             # Re-fuse PK maps at all 4 scales (ref:117-121, 189-200): resize

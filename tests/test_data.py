@@ -140,3 +140,17 @@ def test_eval_preprocess_short_edge_and_mask():
     np.testing.assert_allclose(img[0, :, :, 0], expect, atol=one_level * 1.01)
     # mask values still {0,1}
     assert set(np.unique(tgt)).issubset({0, 1})
+
+
+def test_loader_host_sharding(synthetic_root):
+    """Multi-host slicing: same seeded permutation, disjoint strided cover."""
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    all_ids = []
+    for host in range(2):
+        loader = HostLoader(idx, batch_size=1, shuffle=True, seed=5,
+                            prefetch=0, host_index=host, num_hosts=2)
+        assert len(loader) == 2  # 4 samples / 2 hosts / bs 1
+        for batch in loader.epoch(0):
+            all_ids.append(batch.frames.tobytes())
+    assert len(all_ids) == 4
+    assert len(set(all_ids)) == 4  # disjoint cover, no duplicates

@@ -1,0 +1,62 @@
+"""Host-side meters/loggers (ref:train_and_eval.py:145-296) + JSONL logger."""
+
+import json
+
+from stf_unet_tpu.metrics.meters import AverageMeter, MetricLogger, SmoothedValue
+from stf_unet_tpu.utils.profiling import JsonlLogger
+
+
+def test_smoothed_value_stats():
+    sv = SmoothedValue(window_size=3)
+    for v in (1.0, 2.0, 3.0, 4.0):
+        sv.update(v)
+    assert sv.value == 4.0
+    assert sv.max == 4.0
+    assert sv.median == 3.0          # window holds [2,3,4]
+    assert abs(sv.avg - 3.0) < 1e-9
+    assert abs(sv.global_avg - 2.5) < 1e-9
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0, n=2)
+    m.update(4.0, n=1)
+    assert m.count == 3
+    assert abs(m.avg - 2.0) < 1e-9
+    m.reset()
+    assert m.count == 0
+
+
+def test_metric_logger_log_every(capsys):
+    logger = MetricLogger(delimiter="  ")
+    logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    seen = []
+    for item in logger.log_every(range(5), print_freq=2, header="Epoch: [0]"):
+        logger.update(loss=float(item), lr=0.001)
+        seen.append(item)
+    assert seen == list(range(5))
+    out = capsys.readouterr().out
+    assert "Epoch: [0]" in out
+    assert "eta:" in out and "Total time:" in out
+    assert "loss:" in out and "lr:" in out
+
+
+def test_metric_logger_getattr():
+    logger = MetricLogger()
+    logger.update(loss=2.0)
+    assert logger.loss.global_avg == 2.0
+
+
+def test_jsonl_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = JsonlLogger(path)
+    log.log({"epoch": 0, "dice": 0.5})
+    log.log({"epoch": 1, "dice": 0.75})
+    lines = [json.loads(line) for line in open(path)]
+    assert len(lines) == 2
+    assert lines[1]["dice"] == 0.75
+    assert "ts" in lines[0]
+
+
+def test_jsonl_logger_disabled():
+    JsonlLogger(None).log({"a": 1})  # no-op, no crash

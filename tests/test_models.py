@@ -91,3 +91,27 @@ def test_preprocess_average_frame():
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         create_model(ModelConfig(model="nope"))
+
+
+def test_stflstm_remat_matches_no_remat():
+    m1 = STFLSTMUNet(num_classes=2, time_steps=2, remat=False)
+    m2 = STFLSTMUNet(num_classes=2, time_steps=2, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, 32, 32, 1)),
+                    dtype=jnp.float32)
+    v = m1.init(jax.random.key(0), x, train=False)
+    out1 = m1.apply(v, x, train=False)["out"]
+    out2 = m2.apply(v, x, train=False)["out"]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(mdl, params):
+        out = mdl.apply({"params": params, "batch_stats": v["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"])[0]["out"]
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    g2 = jax.grad(lambda p: loss(m2, p))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
