@@ -195,3 +195,49 @@ def test_stflstm_import_tree_matches_init():
     got_p, got_s = import_stflstm_state_dict(sd)
     assert _tree_shapes(got_p) == want_p
     assert _tree_shapes(got_s) == want_s
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference absent")
+def test_migrate_cli_roundtrip(tmp_path):
+    """Save a reference-format torch pickle, migrate it, and check the
+    restored forward matches the torch model."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet2", os.path.join(REFERENCE, "src", "unet.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(1)
+    ref = mod.UNet(in_channels=8, num_classes=2, base_c=8)
+    ref.eval()
+    pth = str(tmp_path / "unet_best_model.pth")
+    torch.save({"model": ref.state_dict(), "epoch": 3}, pth)
+
+    from stf_unet_tpu.cli.migrate import migrate
+    migrate(pth, "unet", str(tmp_path / "w"), base_c=8)
+
+    import json
+    meta = json.load(open(str(tmp_path / "w" / "unet_best_model" / "meta.json")))
+    assert meta["epoch"] == 3
+
+    from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.checkpoint import CheckpointManager
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=8)
+    model = create_model(cfg)
+    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
+    template = create_train_state(jax.random.key(0), cfg, optim,
+                                  jnp.zeros((1, 8, 32, 32, 1)))
+    state, _ = CheckpointManager(str(tmp_path / "w"), "unet").restore(
+        "best", template)
+
+    x = np.random.default_rng(2).normal(size=(1, 16, 16, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x).permute(0, 3, 1, 2))["out"]
+    got = model.apply(state.variables(), jnp.asarray(x), train=False)["out"]
+    np.testing.assert_allclose(np.asarray(got),
+                               want.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-3, atol=1e-4)
