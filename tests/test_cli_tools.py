@@ -1,0 +1,111 @@
+"""CLI tool tests: stats, merge, val (config write-back + metrics)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def test_stats_cli_breadm_layout(synthetic_root, capsys):
+    from stf_unet_tpu.cli.stats import main
+    mean, std = main([str(synthetic_root)])
+    out = capsys.readouterr().out
+    assert "mean:" in out and "std:" in out
+    assert 0.0 < mean < 1.0
+    assert 0.0 < std < 1.0
+
+
+def test_stats_cli_flat_dir(tmp_path):
+    from stf_unet_tpu.cli.stats import compute_mean_std, collect_images
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (16, 16), dtype=np.uint8)).save(
+            str(tmp_path / f"img_{i}.png"))
+    paths = collect_images(str(tmp_path), flat=True)
+    assert len(paths) == 3
+    mean, std = compute_mean_std(paths)
+    assert 0.3 < mean < 0.7
+
+
+def test_merge_cli(tmp_path):
+    from stf_unet_tpu.cli.merge import main
+    sub_dir = tmp_path / "subs"
+    mask_dir = tmp_path / "masks"
+    out_dir = tmp_path / "out"
+    sub_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 32), dtype=np.uint8)).save(
+            str(sub_dir / f"007_{i}.jpg"), quality=95)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[8:20, 8:20] = 255
+        Image.fromarray(mask).save(str(mask_dir / f"007_{i}.png"))
+    written = main(["--patient-id", "007", "--output-dir", str(out_dir),
+                    "--subtraction-dir", str(sub_dir),
+                    "--mask-dir", str(mask_dir),
+                    "--overlay-color", "0,255,0", "--overlay-alpha", "0.5"])
+    assert written == 2
+    outs = sorted(glob.glob(str(out_dir / "007_*_merged.png")))
+    assert len(outs) == 2
+    merged = np.asarray(Image.open(outs[0]))
+    # overlay region is visibly greener than red channel
+    assert merged[14, 14, 1] > merged[14, 14, 0]
+
+
+def test_merge_cli_border_only(tmp_path):
+    pytest.importorskip("cv2")
+    from stf_unet_tpu.cli.merge import main
+    sub_dir = tmp_path / "s"
+    mask_dir = tmp_path / "m"
+    sub_dir.mkdir()
+    mask_dir.mkdir()
+    Image.fromarray(np.full((32, 32), 100, np.uint8)).save(
+        str(sub_dir / "001_0.jpg"))
+    mask = np.zeros((32, 32), np.uint8)
+    mask[10:22, 10:22] = 255
+    Image.fromarray(mask).save(str(mask_dir / "001_0.png"))
+    written = main(["--patient-id", "001", "--output-dir", str(tmp_path / "o"),
+                    "--subtraction-dir", str(sub_dir),
+                    "--mask-dir", str(mask_dir), "--border-only"])
+    assert written == 1
+    merged = np.asarray(Image.open(
+        str(tmp_path / "o" / "001_001_merged.png")))
+    # interior untouched, border colored
+    assert (merged[16, 16] == 100).all()
+    assert merged[10, 16, 0] > 100
+
+
+def test_val_cli_config_writeback(tmp_path, monkeypatch, synthetic_root):
+    """val CLI: creates config.yml with defaults when missing
+    (ref:val.py:62-70), runs eval with device timing, dumps masks."""
+    monkeypatch.chdir(tmp_path)
+    # train a tiny checkpoint first
+    from stf_unet_tpu.cli.train import run
+    run(["--model", "unet", "--data-path", str(synthetic_root),
+         "--batch-size", "2", "--epochs", "1", "--model-base-c", "4",
+         "--data-base-size", "40", "--data-crop-size", "32",
+         "--save-dir", str(tmp_path / "w"),
+         "--output-dir", str(tmp_path / "o"), "--silent", "true"])
+
+    import yaml
+    cfg_path = str(tmp_path / "config.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"arch": "unet", "base_c": 4, "crop_size": 32}, f)
+
+    from stf_unet_tpu.cli.val import main as val_main
+    result = val_main(["--model-path", str(tmp_path / "w"),
+                       "--root", str(synthetic_root),
+                       "--config", cfg_path, "--name", "t"])
+    assert 0.0 <= result["dice"] <= 1.0
+    assert result["device_time"] > 0
+    assert glob.glob(str(tmp_path / "outputs" / "t" / "0" / "*.jpg"))
+
+    # missing config -> write-back of defaults
+    from stf_unet_tpu.cli.val import DEFAULT_CONFIG, load_or_create_config
+    missing = str(tmp_path / "fresh" / "config.yml")
+    cfg = load_or_create_config(missing)
+    assert cfg == DEFAULT_CONFIG
+    assert os.path.exists(missing)
