@@ -59,11 +59,21 @@ def _lstm_kernel(x_proj_ref, w_hh_ref, b_ref, h_out_ref, c_out_ref,
     c_out_ref[0] = c_new.astype(c_out_ref.dtype)
 
 
+def _pick_tile(tile_n: int, n: int, cdim: int) -> int:
+    """Bound the VMEM working set: double-buffered x_proj blocks dominate
+    (tile * 4C * 4B * 2), plus w_hh (C*4C*4B), h/c outputs and scratch.
+    Budget the x_proj block at ~2MB so the whole set stays well under the
+    ~16MB/core VMEM ceiling even at C=512."""
+    budget_rows = (2 * 1024 * 1024) // (4 * 4 * cdim)
+    tile = min(tile_n, n, max(128, budget_rows))
+    return max(8, (tile // 8) * 8)
+
+
 def _forward(x_proj: jax.Array, w_hh: jax.Array, b: jax.Array,
              tile_n: int, interpret: bool) -> Tuple[jax.Array, jax.Array]:
     t_steps, n, four_c = x_proj.shape
     cdim = four_c // 4
-    tile = min(tile_n, n)
+    tile = _pick_tile(tile_n, n, cdim)
     grid = (pl.cdiv(n, tile), t_steps)
 
     h_seq, c_seq = pl.pallas_call(

@@ -109,3 +109,19 @@ def test_val_cli_config_writeback(tmp_path, monkeypatch, synthetic_root):
     cfg = load_or_create_config(missing)
     assert cfg == DEFAULT_CONFIG
     assert os.path.exists(missing)
+
+
+def test_pipeline_cli(tmp_path, synthetic_root):
+    """Fused inference + PK pipeline renders a combined overlay per sample."""
+    from stf_unet_tpu.cli.pipeline import main as pipe_main
+    import dataclasses
+    # shrink the LM iterations via config injection for CI speed
+    result = pipe_main(["--root", str(synthetic_root), "--model", "unet",
+                        "--model-dir", str(tmp_path / "nonexistent"),
+                        "--output-dir", str(tmp_path / "pipe"),
+                        "--base-c", "4", "--split", "test"])
+    assert result["samples"] == 4
+    outs = glob.glob(str(tmp_path / "pipe" / "*_pipeline.png"))
+    assert len(outs) == 4
+    arr = np.asarray(Image.open(outs[0]))
+    assert arr.ndim == 3 and arr.shape[2] == 3  # RGB overlay

@@ -75,10 +75,10 @@ def main() -> None:
                     print(f"{tag:28s} {dt * 1000:8.1f} ms/step "
                           f"{args.batch / dt:8.1f} slices/s "
                           f"(compile {compile_s:.0f}s, loss {lv:.4f})")
+                    # free HBM between configs
+                    del state, step, model, optim
                 except Exception as e:
                     print(f"{tag:28s} FAILED: {type(e).__name__}: {e}")
-                # free HBM between configs
-                del state, step, model, optim
 
     if results:
         best = min(results, key=results.get)
