@@ -56,7 +56,7 @@ class PixelLSTM(nn.Module):
     lstm_backend: str = "auto"
 
     @nn.compact
-    def __call__(self, feat_seq: jax.Array) -> jax.Array:
+    def __call__(self, feat_seq: jax.Array, *, train: bool = True) -> jax.Array:
         c = self.features
         bound = 1.0 / c ** 0.5
         init = nn.initializers.uniform(scale=2 * bound)
@@ -70,7 +70,8 @@ class PixelLSTM(nn.Module):
         b_hh = self.param("b_hh", centered, (4 * c,), jnp.float32)
         dt = feat_seq.dtype
         return pixel_lstm(feat_seq, w_ih.astype(dt), w_hh.astype(dt),
-                          (b_ih + b_hh).astype(dt), backend=self.lstm_backend)
+                          (b_ih + b_hh).astype(dt), backend=self.lstm_backend,
+                          train=train)
 
 
 class STFLSTMUNet(nn.Module):
@@ -140,10 +141,14 @@ class STFLSTMUNet(nn.Module):
         def unfold(feat):
             return feat.reshape(bsz, t_steps, *feat.shape[1:])
 
-        f1 = PixelLSTM(_SCALE_WIDTHS[0], self.lstm_backend, name="lstm1")(unfold(e1))
-        f2 = PixelLSTM(_SCALE_WIDTHS[1], self.lstm_backend, name="lstm2")(unfold(e2))
-        f3 = PixelLSTM(_SCALE_WIDTHS[2], self.lstm_backend, name="lstm3")(unfold(e3))
-        f4 = PixelLSTM(_SCALE_WIDTHS[3], self.lstm_backend, name="lstm4")(unfold(e4))
+        f1 = PixelLSTM(_SCALE_WIDTHS[0], self.lstm_backend, name="lstm1")(
+            unfold(e1), train=train)
+        f2 = PixelLSTM(_SCALE_WIDTHS[1], self.lstm_backend, name="lstm2")(
+            unfold(e2), train=train)
+        f3 = PixelLSTM(_SCALE_WIDTHS[2], self.lstm_backend, name="lstm3")(
+            unfold(e3), train=train)
+        f4 = PixelLSTM(_SCALE_WIDTHS[3], self.lstm_backend, name="lstm4")(
+            unfold(e4), train=train)
 
         d4 = DecoderBlock(256, dtype=self.dtype, name="decoder4")(f4, f3, train=train)
         d3 = DecoderBlock(128, dtype=self.dtype, name="decoder3")(d4, f2, train=train)

@@ -69,32 +69,35 @@ def lstm_scan(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
 
 
 def pixel_lstm(feat_seq: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
-               b: Optional[jax.Array], backend: str = "auto") -> jax.Array:
+               b: Optional[jax.Array], backend: str = "auto",
+               train: bool = True) -> jax.Array:
     """Temporal fusion of per-scale encoder features.
 
     feat_seq: [B, T, H, W, C] (NHWC per frame) -> [B, H, W, C]: last LSTM
     step per pixel (ref:src/stf_lstm_unet.py:216-242).
 
-    backend: 'auto' (pallas on TPU, scan elsewhere), 'scan', 'pallas', or
-    'pallas_interpret' (CPU-testable kernel emulation).
+    backend: 'auto' (measured best per mode: scan for training, last-only
+    Pallas kernel for TPU inference), 'scan', 'pallas' (full-sequence kernel
+    with custom VJP), 'pallas_last' (inference-only), or
+    'pallas_interpret' / 'pallas_last_interpret' (CPU-testable emulation).
     """
     bsz, t, h, w, c = feat_seq.shape
     lanes = feat_seq.transpose(1, 0, 2, 3, 4).reshape(t, bsz * h * w, c)
     if backend == "auto":
         from stf_unet_tpu.ops.pallas.lstm_kernel import lstm_backend_default
-        backend = lstm_backend_default()
-    if backend in ("pallas", "pallas_interpret"):
-        from stf_unet_tpu.ops.pallas.lstm_kernel import fused_lstm_sequence
+        backend = lstm_backend_default(train)
+    if backend.startswith("pallas"):
+        from stf_unet_tpu.ops.pallas.lstm_kernel import (fused_lstm_last,
+                                                         fused_lstm_sequence)
         x_proj = jnp.einsum("tnc,cd->tnd", lanes, w_ih,
                             preferred_element_type=lanes.dtype)
-        if b is not None:
-            # bias folded into the kernel; pass zeros otherwise
-            bias = b
+        bias = b if b is not None else jnp.zeros((4 * c,), lanes.dtype)
+        interpret = backend.endswith("_interpret")
+        if backend.startswith("pallas_last"):
+            out = fused_lstm_last(x_proj, w_hh, bias, interpret=interpret)
         else:
-            bias = jnp.zeros((4 * c,), lanes.dtype)
-        h_seq = fused_lstm_sequence(x_proj, w_hh, bias,
-                                    interpret=backend == "pallas_interpret")
-        out = h_seq[-1]
+            out = fused_lstm_sequence(x_proj, w_hh, bias,
+                                      interpret=interpret)[-1]
     else:
         out = lstm_scan(lanes, w_ih, w_hh, b)
     return out.reshape(bsz, h, w, c)

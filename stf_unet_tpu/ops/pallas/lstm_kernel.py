@@ -175,7 +175,73 @@ def _bwd(tile_n, interpret, residuals, dh_seq):
 fused_lstm_sequence.defvjp(_fwd, _bwd)
 
 
-def lstm_backend_default() -> str:
-    """'pallas' on real TPU, 'scan' elsewhere (CPU interpret mode is only
-    for tests)."""
-    return "pallas" if jax.default_backend() == "tpu" else "scan"
+def _lstm_last_kernel(x_proj_ref, w_hh_ref, b_ref, h_out_ref,
+                      h_scratch, c_scratch):
+    t = pl.program_id(1)
+    t_total = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        c_scratch[:] = jnp.zeros_like(c_scratch)
+
+    cdim = h_scratch.shape[-1]
+    gates = x_proj_ref[0] + jnp.dot(
+        h_scratch[:], w_hh_ref[:], preferred_element_type=jnp.float32)
+    gates = gates + b_ref[0]
+    i = jax.nn.sigmoid(gates[:, :cdim])
+    f = jax.nn.sigmoid(gates[:, cdim:2 * cdim])
+    g = jnp.tanh(gates[:, 2 * cdim:3 * cdim])
+    o = jax.nn.sigmoid(gates[:, 3 * cdim:])
+    c_new = f * c_scratch[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_scratch[:] = h_new
+    c_scratch[:] = c_new
+
+    @pl.when(t == t_total - 1)
+    def _():
+        h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+
+
+def fused_lstm_last(x_proj: jax.Array, w_hh: jax.Array, b: jax.Array,
+                    tile_n: int = DEFAULT_TILE_N,
+                    interpret: bool = False) -> jax.Array:
+    """Inference fast path: x_proj [T, N, 4C] -> h_T [N, C] ONLY.
+
+    The recurrence never leaves VMEM; per grid step the only HBM traffic is
+    the x_proj block read, plus one [tile, C] write at the final step.
+    (No VJP — training routes through scan or fused_lstm_sequence.)
+    """
+    t_steps, n, four_c = x_proj.shape
+    cdim = four_c // 4
+    tile = _pick_tile(tile_n, n, cdim)
+    grid = (pl.cdiv(n, tile), t_steps)
+    return pl.pallas_call(
+        _lstm_last_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, four_c), lambda nb, t: (t, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, four_c), lambda nb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_c), lambda nb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cdim), lambda nb, t: (nb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cdim), x_proj.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, cdim), jnp.float32),
+            pltpu.VMEM((tile, cdim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_proj, w_hh, b.reshape(1, four_c))
+
+
+def lstm_backend_default(train: bool = True) -> str:
+    """TPU: scan for training (XLA's fused scan wins once residuals must be
+    saved anyway — measured), last-only Pallas kernel for inference.
+    CPU/GPU: scan."""
+    if jax.default_backend() != "tpu":
+        return "scan"
+    return "scan" if train else "pallas_last"

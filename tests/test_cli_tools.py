@@ -114,8 +114,6 @@ def test_val_cli_config_writeback(tmp_path, monkeypatch, synthetic_root):
 def test_pipeline_cli(tmp_path, synthetic_root):
     """Fused inference + PK pipeline renders a combined overlay per sample."""
     from stf_unet_tpu.cli.pipeline import main as pipe_main
-    import dataclasses
-    # shrink the LM iterations via config injection for CI speed
     result = pipe_main(["--root", str(synthetic_root), "--model", "unet",
                         "--model-dir", str(tmp_path / "nonexistent"),
                         "--output-dir", str(tmp_path / "pipe"),
