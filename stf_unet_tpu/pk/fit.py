@@ -139,21 +139,15 @@ def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
     n, t_steps = curves.shape
     params = _init_params(n, cfg)
 
-    def residuals(p):
-        pred = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2])
-        return pred - curves  # [N, T]
+    from stf_unet_tpu.pk.tofts import extended_tofts_with_jacobian
 
     def res_and_jac(p):
-        # Forward-mode JVPs along the 3 parameter directions: [N, T, 3].
-        r = residuals(p)
-        basis = jnp.eye(3, dtype=p.dtype)
-        jac = jnp.stack(
-            [jax.jvp(residuals, (p,), (jnp.broadcast_to(b, p.shape),))[1]
-             for b in basis], axis=-1)
-        return r, jac
+        pred, jac = extended_tofts_with_jacobian(quad, p[:, 0], p[:, 1],
+                                                 p[:, 2])
+        return pred - curves, jac  # [N, T], [N, T, 3]
 
     def cost(p):
-        r = residuals(p)
+        r = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2]) - curves
         return jnp.sum(r * r, axis=1)  # [N]
 
     def step(carry, _):

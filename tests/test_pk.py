@@ -150,3 +150,27 @@ def test_preprocess_images_mask_and_scale():
     assert float(jnp.max(norm)) <= 1.0
     m = np.asarray(mask)
     assert m[:6, :6].sum() == 0  # dark corner excluded
+
+
+def test_analytic_jacobian_matches_autodiff():
+    from stf_unet_tpu.pk.tofts import extended_tofts_with_jacobian
+    import jax
+    aif = make_aif("population")
+    quad = ToftsQuadrature.build(T_POINTS, aif)
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(np.stack([rng.uniform(0.02, 0.5, 8),
+                              rng.uniform(0.05, 0.4, 8),
+                              rng.uniform(0.0, 0.15, 8)], axis=1),
+                    jnp.float32)
+    c, jac = extended_tofts_with_jacobian(quad, p[:, 0], p[:, 1], p[:, 2])
+
+    def fwd(pp):
+        return extended_tofts_batch(quad, pp[:, 0], pp[:, 1], pp[:, 2])
+
+    np.testing.assert_allclose(np.asarray(c), np.asarray(fwd(p)),
+                               rtol=1e-5, atol=1e-6)
+    want = jax.jacfwd(fwd)(p)  # [N, T, N, 3] block-diagonal
+    n = p.shape[0]
+    want_diag = np.asarray(want)[np.arange(n), :, np.arange(n), :]
+    np.testing.assert_allclose(np.asarray(jac), want_diag,
+                               rtol=1e-4, atol=1e-5)
