@@ -68,8 +68,10 @@ def train_one_epoch(state: TrainState, train_step: Callable,
     logger = MetricLogger(delimiter="  ")
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
-    lr = 0.0
     step_in_epoch = 0
+    pending = None  # one-step-delayed (loss, lr) fetch: materializing a
+    # device value synchronizes the host with the chip, so fetch the
+    # PREVIOUS step's scalars while the current step computes.
     for batch in logger.log_every(loader.epoch(epoch), print_freq, header,
                                   total=len(loader)):
         key = augment_key(root_key, epoch, step_in_epoch)
@@ -82,9 +84,14 @@ def train_one_epoch(state: TrainState, train_step: Callable,
             images = jax.device_put(images, mesh_lib.batch_sharding(mesh, images.ndim))
             targets = jax.device_put(targets, mesh_lib.batch_sharding(mesh, targets.ndim))
         state, loss, lr = train_step(state, images, targets)
-        logger.update(loss=float(loss), lr=float(lr))
+        if pending is not None:
+            logger.update(loss=float(pending[0]), lr=float(pending[1]))
+        pending = (loss, lr)
         step_in_epoch += 1
-    return state, logger.meters["loss"].global_avg, float(lr)
+    if pending is not None:
+        logger.update(loss=float(pending[0]), lr=float(pending[1]))
+    last_lr = logger.meters["lr"].value if step_in_epoch else 0.0
+    return state, logger.meters["loss"].global_avg, float(last_lr)
 
 
 class _EvalStepCache:
