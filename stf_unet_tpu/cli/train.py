@@ -151,7 +151,8 @@ def main(cfg: TrainConfig) -> dict:
         metrics = evaluate(
             state, model,
             eval_batches_from_index(val_index, cfg.data,
-                                    use_pk_maps=cfg.data.use_pk_maps),
+                                    use_pk_maps=cfg.data.use_pk_maps,
+                                    batch_size=cfg.eval_batch_size),
             num_classes)
         dice = metrics["dice"]
         print(metrics["confusion_str"])

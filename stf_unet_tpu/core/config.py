@@ -96,6 +96,9 @@ class TrainConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
 
     batch_size: int = 16
+    # Reference evaluates with batch 1 (ref:train.py:206-211); larger values
+    # batch eval with cat_list-style 255 target padding.
+    eval_batch_size: int = 1
     epochs: int = 100
     start_epoch: int = 0
     print_freq: int = 10
