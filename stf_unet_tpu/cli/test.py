@@ -82,9 +82,7 @@ def test(args: argparse.Namespace) -> dict:
 
     os.makedirs(args.output_dir, exist_ok=True)
     for idx, (logits, (image, _)) in enumerate(zip(
-            metrics["outputs"],
-            eval_batches_from_index(test_index, data_cfg,
-                                    use_pk_maps=args.use_pk_maps))):
+            metrics["outputs"], metrics["batches"])):
         pred = np.argmax(logits[0], axis=-1)
         save_overlay(pred, image[0, 0, :, :, 0], args.output_dir, idx,
                      prefix=args.model)

@@ -121,18 +121,28 @@ def main(cfg: TrainConfig) -> dict:
 
     ckpt = CheckpointManager(cfg.save_dir, cfg.model.model, tag_suffix)
     start_epoch = cfg.start_epoch
+    best_dice = 0.0
     if cfg.resume:
         state, meta = ckpt.restore(cfg.resume, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
-        print(f"Resumed from {cfg.resume} at epoch {start_epoch}")
+        # Carry the best score forward so a worse post-resume epoch cannot
+        # clobber the best checkpoint; prefer the best checkpoint's own meta.
+        best_dice = float(meta.get("best_dice", 0.0) or 0.0)
+        if ckpt.exists("best"):
+            import json as _json
+            best_meta = os.path.join(ckpt._path("best"), "meta.json")
+            if os.path.exists(best_meta):
+                with open(best_meta) as f:
+                    best_dice = max(best_dice,
+                                    float(_json.load(f).get("best_dice", 0.0)))
+        print(f"Resumed from {cfg.resume} at epoch {start_epoch} "
+              f"(best dice so far {best_dice:.4f})")
 
     if mesh is not None:
         state = mesh_lib.replicate(mesh, state)
 
     train_step = make_train_step(model, optim, schedule, num_classes)
     cfg_json = config_lib.config_to_json(cfg)
-
-    best_dice = 0.0
     start_time = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         if cfg.test_only:
@@ -219,9 +229,7 @@ def main(cfg: TrainConfig) -> dict:
         num_classes, collect_outputs=True)
 
     for idx, (logits, (image, target)) in enumerate(zip(
-            test_metrics["outputs"],
-            eval_batches_from_index(test_index, cfg.data,
-                                    use_pk_maps=cfg.data.use_pk_maps))):
+            test_metrics["outputs"], test_metrics["batches"])):
         # Unified argmax prediction (SURVEY §3.3: the reference splits
         # between sigmoid-threshold and argmax; we standardize on argmax
         # of the softmax, foreground = class 1).

@@ -34,7 +34,6 @@ class DataConfig:
     mean: float = 0.709
     std: float = 0.127
     # Loader behavior.
-    shuffle_buffer: int = 2048
     prefetch: int = 2
     # Deliberate divergence from the reference (ref:my_dataset.py:173-179):
     # the reference re-rolls the random transform per temporal frame; we use
@@ -58,6 +57,8 @@ class ModelConfig:
     # `--num-classes` is foreground classes; +1 background applied by the
     # trainer exactly like ref:train.py:144.
     num_classes: int = 1
+    # Per-frame channel count; retained for reference CLI compatibility
+    # (ref:train.py:214) — the NHWC models infer it from the input shape.
     in_channels: int = 1
     time_steps: int = 8
     base_c: int = 64  # vanilla UNet width (ref:src/unet.py:7)
@@ -96,8 +97,12 @@ class TrainConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
 
     batch_size: int = 16
-    # Reference evaluates with batch 1 (ref:train.py:206-211); larger values
-    # batch eval with cat_list-style 255 target padding.
+    # Reference evaluates with batch 1 (ref:train.py:206-211). Larger values
+    # batch eval with cat_list-style 255 target padding — an APPROXIMATION:
+    # pad pixels fold into class 0 of the dice (the reference's own
+    # DiceCoefficient semantics, ref:train_and_eval.py:87-90) and zero-padded
+    # image regions perturb predictions near pad boundaries, so metrics can
+    # differ slightly from batch-1 eval.
     eval_batch_size: int = 1
     epochs: int = 100
     start_epoch: int = 0
@@ -116,10 +121,6 @@ class TrainConfig:
     seed: int = 0
     # Device mesh: number of data-parallel shards; 0 = all visible devices.
     data_parallel: int = 0
-    # Eval images have a variable long edge after short-edge resize
-    # (ref:train.py:70-74); pad to multiples of this bucket to bound
-    # recompilation. Padding uses the 255 ignore label (ref:my_dataset.py:243).
-    eval_pad_multiple: int = 32
     # Observability (SURVEY §5): structured JSONL metrics alongside the
     # parity results .txt; optional profiler trace of the first train steps;
     # jax_debug_nans-style sanitizer for the jit'd step.
@@ -177,6 +178,11 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc: Any, prefix: str = 
             parser.add_argument(name, type=str, default=None)
 
 
+# Fields whose CLI value is a comma-separated tuple even for one element.
+_TUPLE_FIELDS = {"sequence_types", "time_points", "ktrans_bounds",
+                 "ve_bounds", "vp_bounds"}
+
+
 def _apply_overrides(dc: Any, ns: argparse.Namespace, prefix: str = "") -> Any:
     updates = {}
     for f in dataclasses.fields(dc):
@@ -187,8 +193,9 @@ def _apply_overrides(dc: Any, ns: argparse.Namespace, prefix: str = "") -> Any:
         key = (prefix + f.name).replace(".", "_")
         ov = getattr(ns, key, None)
         if ov is not None:
-            if isinstance(val, tuple) or (val is None and isinstance(ov, str) and "," in ov):
-                ov = tuple(x.strip() for x in ov.split(","))
+            if isinstance(ov, str) and (isinstance(val, tuple)
+                                        or f.name in _TUPLE_FIELDS):
+                ov = tuple(x.strip() for x in ov.split(",") if x.strip())
             updates[f.name] = ov
     return dataclasses.replace(dc, **updates)
 

@@ -156,8 +156,10 @@ class HostLoader:
         masks = np.full((b, ch, cw), 255, dtype=np.uint8)
         for i in range(b):
             h, w = msizes[i]
-            # /255 binarization (ref:my_dataset.py:166-168); padding stays 255
-            masks[i, :h, :w] = (mask_canvas[i, :h, :w] >= 128).astype(np.uint8)
+            # floor-div /255 binarization exactly like the PIL path and the
+            # reference (ref:my_dataset.py:166-168: only 255 -> 1);
+            # padding stays 255
+            masks[i, :h, :w] = mask_canvas[i, :h, :w] // 255
 
         pk = None
         if self.use_pk_maps:
@@ -195,8 +197,9 @@ class HostLoader:
             try:
                 for chunk in chunks:
                     q.put(self._make_batch([self.index[int(i)] for i in chunk]))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # surface in the consumer, don't
+                q.put(("__prefetch_error__", e))  # silently truncate the epoch
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -204,5 +207,9 @@ class HostLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__prefetch_error__":
+                t.join()
+                raise RuntimeError("data prefetch thread failed") from item[1]
             yield item
         t.join()

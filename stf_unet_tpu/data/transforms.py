@@ -196,21 +196,45 @@ class TrainAugment:
         def one(k, frames_i, mask_i, size_i, pk_i):
             src_h = size_i[0].astype(jnp.float32)
             src_w = size_i[1].astype(jnp.float32)
-            params = _sample_params(
-                k, self.min_size, self.max_size, self.cfg.hflip_prob,
-                self.cfg.vflip_prob, self.cfg.rotate_prob,
-                self.cfg.rotate_degrees, crop, src_h, src_w)
-            compose = _build_affine(*params)
-            gy, gx = compose(grid_y, grid_x)
+
+            def draw(kk):
+                params = _sample_params(
+                    kk, self.min_size, self.max_size, self.cfg.hflip_prob,
+                    self.cfg.vflip_prob, self.cfg.rotate_prob,
+                    self.cfg.rotate_degrees, crop, src_h, src_w)
+                return _build_affine(*params)(grid_y, grid_x)
 
             img = frames_i.astype(jnp.float32) / 255.0
-            warped = _bilinear_gather(img, gy, gx, src_h, src_w)  # [T,c,c]
+            pk_f = pk_i.astype(jnp.float32) / 255.0 if pk_i is not None else None
+
+            if self.cfg.shared_frame_augmentation:
+                # One draw for the whole sample (documented fix of the
+                # reference's per-frame re-roll, ref:my_dataset.py:173-179).
+                gy, gx = draw(k)
+                warped = _bilinear_gather(img, gy, gx, src_h, src_w)
+                if pk_f is not None:
+                    pk_w = _bilinear_gather(pk_f, gy, gx, src_h, src_w)
+            else:
+                # Reference-faithful quirk mode: every frame (and every PK
+                # map) re-rolls its own transform; the mask follows frame 0.
+                n_draws = img.shape[0] + (pk_f.shape[0] if pk_f is not None else 0)
+                keys_f = jax.random.split(k, n_draws)
+                gys, gxs = jax.vmap(draw)(keys_f)
+                warped = jax.vmap(
+                    lambda fr, yy, xx: _bilinear_gather(fr, yy, xx, src_h, src_w)
+                )(img, gys[:img.shape[0]], gxs[:img.shape[0]])
+                if pk_f is not None:
+                    warped_pk = jax.vmap(
+                        lambda fr, yy, xx: _bilinear_gather(fr, yy, xx,
+                                                            src_h, src_w)
+                    )(pk_f, gys[img.shape[0]:], gxs[img.shape[0]:])
+                    pk_w = warped_pk
+                gy, gx = gys[0], gxs[0]  # mask follows frame 0 (ref:173)
+
             warped = (warped - self.cfg.mean) / self.cfg.std
             tgt = _nearest_gather(mask_i.astype(jnp.int32), gy, gx,
                                   src_h, src_w, fill=0)
-            if pk_i is not None:
-                pk_f = pk_i.astype(jnp.float32) / 255.0
-                pk_w = _bilinear_gather(pk_f, gy, gx, src_h, src_w)
+            if pk_f is not None:
                 pk_w = (pk_w - self.cfg.mean) / self.cfg.std
                 warped = jnp.concatenate([warped, pk_w], axis=0)
             return warped, tgt

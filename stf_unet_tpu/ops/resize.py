@@ -110,7 +110,8 @@ def pil_resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
 
 def short_edge_size(h: int, w: int, size: int) -> Tuple[int, int]:
     """torchvision F.resize(int) semantics: scale the short edge to `size`
-    preserving aspect ratio (ref:transforms.py:26-31)."""
+    preserving aspect ratio, TRUNCATING the long edge
+    (torchvision computes `int(size * long / short)` — ref:transforms.py:26-31)."""
     if h <= w:
-        return size, max(1, int(round(size * w / h)))
-    return max(1, int(round(size * h / w))), size
+        return size, max(1, int(size * w / h))
+    return max(1, int(size * h / w)), size

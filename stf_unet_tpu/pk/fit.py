@@ -146,20 +146,22 @@ def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
                                                  p[:, 2])
         return pred - curves, jac  # [N, T], [N, T, 3]
 
-    def cost(p):
-        r = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2]) - curves
-        return jnp.sum(r * r, axis=1)  # [N]
+    def residuals(p):
+        return extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2]) - curves
 
     def step(carry, _):
         p, lam = carry
         r, jac = res_and_jac(p)
+        cost_p = jnp.sum(r * r, axis=1)                  # free from r
         jtj = jnp.einsum("nti,ntj->nij", jac, jac)       # [N,3,3]
         jtr = jnp.einsum("nti,nt->ni", jac, r)           # [N,3]
         damped = jtj + lam[:, None, None] * jnp.eye(3)[None]
         delta = jnp.linalg.solve(
             damped + 1e-12 * jnp.eye(3)[None], -jtr[..., None])[..., 0]
         cand = _clamp(p + delta, cfg)
-        improved = cost(cand) < cost(p)
+        r_cand = residuals(cand)                         # one extra forward
+        cost_cand = jnp.sum(r_cand * r_cand, axis=1)
+        improved = cost_cand < cost_p
         p_next = jnp.where(improved[:, None], cand, p)
         lam_next = jnp.where(improved, lam * 0.5, lam * 4.0)
         lam_next = jnp.clip(lam_next, 1e-8, 1e8)

@@ -28,6 +28,13 @@ def fit_volume(images: np.ndarray, cfg: PKConfig,
     """[T, H, W] signal volume -> [3, H, W] (Ktrans, ve, vp) maps
     (ref:fit_volume_gpu, pk_fitting.py:233-420)."""
     t_steps, height, width = images.shape
+    if t_steps != len(cfg.time_points):
+        # Missing SUBk sequences were warn-and-skipped upstream
+        # (ref:pk_fitting.py:626-636); fit over the frames that exist.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, time_points=tuple(float(i) for i in range(t_steps)))
+        print(f"note: {t_steps} frames present; time grid adjusted")
     t0 = time.time()
     imgs, tissue_mask = preprocess_images(images, cfg)
     mask_np = np.asarray(tissue_mask)

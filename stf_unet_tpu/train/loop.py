@@ -130,7 +130,9 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     `eval_batches` yields (image [B,T,h,w,1] float32, target [B,h,w] int32)
     numpy/JAX arrays (already eval-preprocessed). Returns the reference's
     result dict {dice, confusion_matrix, global_accuracy, class_metrics,
-    mean_metrics} (+ outputs when collect_outputs).
+    mean_metrics}; with collect_outputs also "outputs" (per-batch logits)
+    and "batches" (the consumed (image, target) pairs, so callers rendering
+    artifacts don't re-decode the dataset).
     """
     variables = state.variables()
     conf = confusion_init(num_classes)
@@ -139,6 +141,7 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     stepper = _EvalStepCache(model, num_classes)
     logger = MetricLogger(delimiter="  ")
     outputs = []
+    batches = []
     for image, target in logger.log_every(eval_batches, print_freq, "Test:"):
         image = jnp.asarray(image)
         target = jnp.asarray(target)
@@ -146,6 +149,7 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
             variables, image, target, conf, dice_cum, dice_count)
         if collect_outputs:
             outputs.append(np.asarray(logits))
+            batches.append((np.asarray(image), np.asarray(target)))
     mat = np.asarray(conf)
     report = confusion_report(mat)
     return {
@@ -155,7 +159,7 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
         "global_accuracy": report["global_accuracy"],
         "class_metrics": report["class_metrics"],
         "mean_metrics": report["mean_metrics"],
-        **({"outputs": outputs} if collect_outputs else {}),
+        **({"outputs": outputs, "batches": batches} if collect_outputs else {}),
     }
 
 

@@ -130,10 +130,10 @@ def test_eval_preprocess_short_edge_and_mask():
     frames = rng.integers(0, 255, (2, 48, 64), dtype=np.uint8)
     mask = rng.integers(0, 2, (48, 64)).astype(np.uint8)
     img, tgt = eval_preprocess(frames, mask, cfg)
-    assert img.shape == (2, 32, 43, 1)  # short edge 48 -> 32, 64*32/48 -> 43
-    assert tgt.shape == (32, 43)
+    assert img.shape == (2, 32, 42, 1)  # short edge 48 -> 32, int(64*32/48) -> 42
+    assert tgt.shape == (32, 42)
     # image channel 0 == PIL bilinear of frame 0 (normalized)
-    pil = np.asarray(Image.fromarray(frames[0]).resize((43, 32), Image.BILINEAR))
+    pil = np.asarray(Image.fromarray(frames[0]).resize((42, 32), Image.BILINEAR))
     expect = (pil.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
     # PIL's fixed-point rounding vs our float rounding: <= 1 intensity level
     one_level = (1.0 / 255.0) / cfg.std
@@ -154,3 +154,45 @@ def test_loader_host_sharding(synthetic_root):
             all_ids.append(batch.frames.tobytes())
     assert len(all_ids) == 4
     assert len(set(all_ids)) == 4  # disjoint cover, no duplicates
+
+
+def test_augment_per_frame_reroll_mode():
+    """shared_frame_augmentation=False reproduces the reference's per-frame
+    re-roll (ref:my_dataset.py:173-179): identical frames come out DIFFERENT."""
+    cfg = DataConfig(base_size=48, crop_size=32,
+                     shared_frame_augmentation=False)
+    aug = TrainAugment(cfg)
+    base = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48) % 251
+    frames = np.stack([base] * 8)[None]
+    masks = np.zeros((1, 48, 48), np.uint8)
+    sizes = np.array([[48, 48]], np.int32)
+    imgs, _ = aug(jax.random.key(0), jnp.asarray(frames), jnp.asarray(masks),
+                  jnp.asarray(sizes))
+    arr = np.asarray(imgs)[0, :, :, :, 0]
+    diffs = [np.abs(arr[t] - arr[0]).max() for t in range(1, 8)]
+    assert max(diffs) > 0.1  # at least one frame drew a different transform
+
+
+def test_prefetch_error_surfaces(synthetic_root):
+    """A failing decode in the prefetch thread must raise, not silently
+    truncate the epoch."""
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    loader = HostLoader(idx, batch_size=2, shuffle=False, prefetch=2,
+                        use_native=False)
+    # sabotage one record's frame path
+    import dataclasses as dc
+    rec = idx.records[2]
+    idx.records[2] = dc.replace(rec, image_paths=("/nope/missing.png",) * 8)
+    try:
+        with pytest.raises(RuntimeError, match="prefetch"):
+            list(loader.epoch(0))
+    finally:
+        idx.records[2] = rec
+
+
+def test_config_single_element_tuple_override():
+    from stf_unet_tpu.core.config import parse_config
+    cfg = parse_config(["--data-sequence-types", "SUB1"])
+    assert cfg.data.resolved_sequence_types == ("SUB1",)
+    cfg2 = parse_config(["--data-sequence-types", "SUB1,SUB2"])
+    assert cfg2.data.resolved_sequence_types == ("SUB1", "SUB2")
