@@ -141,7 +141,10 @@ def main(cfg: TrainConfig) -> dict:
     if mesh is not None:
         state = mesh_lib.replicate(mesh, state)
 
-    train_step = make_train_step(model, optim, schedule, num_classes)
+    # Fused step: device augmentation compiles into the same program as the
+    # model update — one dispatch per step.
+    train_step = make_train_step(model, optim, schedule, num_classes,
+                                 augment=augment)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()
     for epoch in range(start_epoch, cfg.epochs):
@@ -151,11 +154,11 @@ def main(cfg: TrainConfig) -> dict:
             from stf_unet_tpu.utils.profiling import trace
             with trace(cfg.profile_dir):
                 state, mean_loss, lr = train_one_epoch(
-                    state, train_step, loader, augment, key, epoch, mesh=mesh,
+                    state, train_step, loader, None, key, epoch, mesh=mesh,
                     print_freq=cfg.print_freq)
         else:
             state, mean_loss, lr = train_one_epoch(
-                state, train_step, loader, augment, key, epoch, mesh=mesh,
+                state, train_step, loader, None, key, epoch, mesh=mesh,
                 print_freq=cfg.print_freq)
 
         metrics = evaluate(

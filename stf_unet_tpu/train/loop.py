@@ -31,8 +31,15 @@ from stf_unet_tpu.train.state import TrainState
 
 
 def make_train_step(model, optim, schedule, num_classes: int,
-                    ignore_index: int = -100) -> Callable:
-    """Build the jitted train step. State is donated (in-place update in HBM)."""
+                    ignore_index: int = -100,
+                    augment: Optional[TrainAugment] = None) -> Callable:
+    """Build the jitted train step. State is donated (in-place update in HBM).
+
+    With `augment` the device-side augmentation fuses INTO the same compiled
+    program — one dispatch per step, signature
+    (state, key, frames, masks, sizes, pk) — instead of a separate
+    augmentation launch (each dispatch is a host<->chip round trip).
+    """
 
     def loss_fn(params, batch_stats, images, targets):
         x = preprocess_input(images, model)
@@ -43,8 +50,7 @@ def make_train_step(model, optim, schedule, num_classes: int,
                          ignore_index=ignore_index)
         return loss, mutated["batch_stats"]
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def train_step(state: TrainState, images, targets):
+    def update(state, images, targets):
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, images, targets)
         updates, new_opt = optim.update(grads, state.opt_state, state.params)
@@ -55,16 +61,31 @@ def make_train_step(model, optim, schedule, num_classes: int,
                                opt_state=new_opt, step=state.step + 1)
         return new_state, loss, lr
 
-    return train_step
+    if augment is None:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, images, targets):
+            return update(state, images, targets)
+        return train_step
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fused_train_step(state: TrainState, key, frames, masks, sizes,
+                         pk=None):
+        images, targets = augment(key, frames, masks, sizes, pk)
+        return update(state, images, targets)
+
+    return fused_train_step
 
 
 def train_one_epoch(state: TrainState, train_step: Callable,
-                    loader: HostLoader, augment: TrainAugment,
+                    loader: HostLoader, augment: Optional[TrainAugment],
                     root_key: jax.Array, epoch: int, *,
                     mesh=None, print_freq: int = 10
                     ) -> Tuple[TrainState, float, float]:
     """One epoch (ref:train_and_eval.py:377-411). Returns
-    (state, mean loss, last lr)."""
+    (state, mean loss, last lr).
+
+    augment=None means `train_step` is a fused step (augmentation compiled
+    into the same program; see make_train_step)."""
     logger = MetricLogger(delimiter="  ")
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
@@ -75,15 +96,22 @@ def train_one_epoch(state: TrainState, train_step: Callable,
     for batch in logger.log_every(loader.epoch(epoch), print_freq, header,
                                   total=len(loader)):
         key = augment_key(root_key, epoch, step_in_epoch)
-        frames = jnp.asarray(batch.frames)
-        masks = jnp.asarray(batch.masks)
-        sizes = jnp.asarray(batch.sizes)
-        pk = jnp.asarray(batch.pk) if batch.pk is not None else None
-        images, targets = augment(key, frames, masks, sizes, pk)
         if mesh is not None:
-            images = jax.device_put(images, mesh_lib.batch_sharding(mesh, images.ndim))
-            targets = jax.device_put(targets, mesh_lib.batch_sharding(mesh, targets.ndim))
-        state, loss, lr = train_step(state, images, targets)
+            sharded = mesh_lib.shard_batch(
+                mesh, (batch.frames, batch.masks, batch.sizes)
+                + ((batch.pk,) if batch.pk is not None else ()))
+            frames, masks, sizes = sharded[:3]
+            pk = sharded[3] if batch.pk is not None else None
+        else:
+            frames = jnp.asarray(batch.frames)
+            masks = jnp.asarray(batch.masks)
+            sizes = jnp.asarray(batch.sizes)
+            pk = jnp.asarray(batch.pk) if batch.pk is not None else None
+        if augment is None:
+            state, loss, lr = train_step(state, key, frames, masks, sizes, pk)
+        else:
+            images, targets = augment(key, frames, masks, sizes, pk)
+            state, loss, lr = train_step(state, images, targets)
         if pending is not None:
             logger.update(loss=float(pending[0]), lr=float(pending[1]))
         pending = (loss, lr)
