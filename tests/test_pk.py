@@ -174,3 +174,18 @@ def test_analytic_jacobian_matches_autodiff():
     want_diag = np.asarray(want)[np.arange(n), :, np.arange(n), :]
     np.testing.assert_allclose(np.asarray(jac), want_diag,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tofts_pallas_kernel_parity():
+    """Fused dual-contraction kernel == XLA einsum pair (interpret mode)."""
+    from stf_unet_tpu.pk.tofts import _dual_sums
+    aif = make_aif("population")
+    quad = ToftsQuadrature.build(T_POINTS, aif)
+    rng = np.random.default_rng(7)
+    rate = jnp.asarray(rng.uniform(0.05, 5.0, 100), jnp.float32)
+    s_x, sl_x = _dual_sums(quad, rate, "xla")
+    s_p, sl_p = _dual_sums(quad, rate, "pallas_interpret")
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sl_p), np.asarray(sl_x),
+                               rtol=1e-5, atol=1e-6)
