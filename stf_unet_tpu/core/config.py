@@ -171,7 +171,10 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc: Any, prefix: str = 
         name = f"--{(prefix + f.name).replace('_', '-').replace('.', '-')}"
         default = getattr(dc, f.name)
         if isinstance(default, bool):
-            parser.add_argument(name, type=_parse_bool, default=None, metavar="BOOL")
+            # Bare flag sets True (reference store_true style,
+            # ref:train.py:102-118); an explicit true/false value also works.
+            parser.add_argument(name, type=_parse_bool, default=None,
+                                nargs="?", const=True, metavar="BOOL")
         elif isinstance(default, (int, float, str)):
             parser.add_argument(name, type=type(default), default=None)
         else:
@@ -223,7 +226,11 @@ def parse_config(argv: Optional[Sequence[str]] = None,
     existing = {opt for a in parser._actions for opt in a.option_strings}
     for flag, (dest, typ) in alias.items():
         if flag not in existing:
-            parser.add_argument(flag, dest=dest, type=typ, default=None)
+            if typ is _parse_bool:
+                parser.add_argument(flag, dest=dest, type=typ, default=None,
+                                    nargs="?", const=True, metavar="BOOL")
+            else:
+                parser.add_argument(flag, dest=dest, type=typ, default=None)
     ns = parser.parse_args(argv)
     cfg = _apply_overrides(cfg, ns)
     # Keep the coupled flags in sync (ref wires --use-pk-maps into both the

@@ -196,3 +196,15 @@ def test_config_single_element_tuple_override():
     assert cfg.data.resolved_sequence_types == ("SUB1",)
     cfg2 = parse_config(["--data-sequence-types", "SUB1,SUB2"])
     assert cfg2.data.resolved_sequence_types == ("SUB1", "SUB2")
+
+
+def test_config_bare_boolean_flags():
+    """Reference-style bare flags (store_true) must work (ref:train.py:102-118)."""
+    from stf_unet_tpu.core.config import parse_config
+    cfg = parse_config(["--use-subtraction", "--use-pk-maps", "--amp",
+                        "--silent", "false"])
+    assert cfg.data.use_subtraction is True
+    assert cfg.data.use_pk_maps is True
+    assert cfg.model.use_pk_maps is True
+    assert cfg.amp is True
+    assert cfg.silent is False
