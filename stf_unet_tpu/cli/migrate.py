@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from stf_unet_tpu.core.config import ModelConfig, OptimConfig
-from stf_unet_tpu.models.registry import create_model
 from stf_unet_tpu.train.checkpoint import CheckpointManager
 from stf_unet_tpu.train.schedule import warmup_poly_schedule
 from stf_unet_tpu.train.state import (TrainState, create_train_state,

@@ -13,7 +13,6 @@ documented as inconsistent).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import Optional, Sequence
 

@@ -11,7 +11,7 @@ and PK fitting produces nonzero maps.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stf_unet_tpu.core.config import DataConfig
-from stf_unet_tpu.ops.resize import pil_resize_weights, resize_nearest, short_edge_size
+from stf_unet_tpu.ops.resize import pil_resize_weights, short_edge_size
 
 
 def normalize(img: jax.Array, mean: float, std: float) -> jax.Array:

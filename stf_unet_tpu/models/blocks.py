@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from stf_unet_tpu.ops.conv import conv_transpose2d_torch

@@ -7,7 +7,6 @@ from typing import Any
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from stf_unet_tpu.core.config import ModelConfig
 from stf_unet_tpu.models.stf_lstm_unet import STFLSTMUNet

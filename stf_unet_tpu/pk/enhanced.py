@@ -23,7 +23,7 @@ import numpy as np
 
 from stf_unet_tpu.core.config import PKConfig
 from stf_unet_tpu.pk.aif import auto_detect_aif, make_aif
-from stf_unet_tpu.pk.fit import fit_adam, fit_lm, tissue_mask_morphology
+from stf_unet_tpu.pk.fit import fit_adam, fit_lm
 from stf_unet_tpu.pk.maps import PARAM_NAMES, save_param_maps
 from stf_unet_tpu.pk.tofts import ToftsQuadrature
 

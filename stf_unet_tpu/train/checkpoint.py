@@ -11,10 +11,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from stf_unet_tpu.train.state import TrainState

@@ -21,7 +21,7 @@ from stf_unet_tpu.core.prng import augment_key
 from stf_unet_tpu.data.loader import HostLoader
 from stf_unet_tpu.data.transforms import TrainAugment, eval_preprocess
 from stf_unet_tpu.losses.criterion import criterion
-from stf_unet_tpu.metrics.confusion import (confusion_compute, confusion_init,
+from stf_unet_tpu.metrics.confusion import (confusion_init,
                                             confusion_report, confusion_update,
                                             format_confusion)
 from stf_unet_tpu.metrics.dice import eval_dice_update, eval_dice_value
