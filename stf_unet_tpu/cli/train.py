@@ -41,6 +41,12 @@ from stf_unet_tpu.viz.comparison import save_comparison
 
 
 def main(cfg: TrainConfig) -> dict:
+    host_index, num_hosts = 0, 1
+    if cfg.multihost:
+        from stf_unet_tpu.core.distributed import host_info, maybe_initialize
+        if maybe_initialize():
+            host_index, num_hosts = host_info()
+            print(f"multi-host: process {host_index}/{num_hosts}")
     print(f"JAX {jax.__version__} | devices: {jax.devices()}")
 
     num_classes = cfg.model.total_classes  # +1 background (ref:train.py:144)
@@ -93,7 +99,8 @@ def main(cfg: TrainConfig) -> dict:
     loader = HostLoader(train_index, batch_size, shuffle=True, seed=cfg.seed,
                         use_pk_maps=cfg.data.use_pk_maps,
                         drop_last=mesh is not None,
-                        prefetch=cfg.data.prefetch)
+                        prefetch=cfg.data.prefetch,
+                        host_index=host_index, num_hosts=num_hosts)
     augment = TrainAugment(cfg.data)
 
     policy = make_policy(cfg.amp)

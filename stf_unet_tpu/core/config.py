@@ -121,6 +121,8 @@ class TrainConfig:
     seed: int = 0
     # Device mesh: number of data-parallel shards; 0 = all visible devices.
     data_parallel: int = 0
+    # Initialize jax.distributed for multi-host pods (core/distributed.py).
+    multihost: bool = False
     # Observability (SURVEY §5): structured JSONL metrics alongside the
     # parity results .txt; optional profiler trace of the first train steps;
     # jax_debug_nans-style sanitizer for the jit'd step.
