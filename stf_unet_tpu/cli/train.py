@@ -43,10 +43,11 @@ from stf_unet_tpu.viz.comparison import save_comparison
 def main(cfg: TrainConfig) -> dict:
     host_index, num_hosts = 0, 1
     if cfg.multihost:
-        from stf_unet_tpu.core.distributed import host_info, maybe_initialize
-        if maybe_initialize():
-            host_index, num_hosts = host_info()
-            print(f"multi-host: process {host_index}/{num_hosts}")
+        from stf_unet_tpu.core.distributed import host_info, initialize
+        initialize()  # raises on failure — no silent single-host fallback
+        host_index, num_hosts = host_info()
+        print(f"multi-host: process {host_index}/{num_hosts}")
+    is_main = host_index == 0
     print(f"JAX {jax.__version__} | devices: {jax.devices()}")
 
     num_classes = cfg.model.total_classes  # +1 background (ref:train.py:144)
@@ -54,7 +55,7 @@ def main(cfg: TrainConfig) -> dict:
 
     results_file: Optional[str] = None
     jsonl = None
-    if not cfg.silent:
+    if not cfg.silent and is_main:  # one writer per pod
         os.makedirs(cfg.output_dir, exist_ok=True)
         stamp = datetime.datetime.now().strftime("%m%d-%H%M")
         results_file = os.path.join(
@@ -70,7 +71,7 @@ def main(cfg: TrainConfig) -> dict:
         jax.config.update("jax_debug_nans", True)
         print("NaN sanitizer enabled (jax_debug_nans)")
 
-    if cfg.generate_pk_maps:
+    if cfg.generate_pk_maps and is_main:
         print("Generating PK parameter maps...")
         from stf_unet_tpu.pk.maps import generate_pk_maps_for_dataset
         generate_pk_maps_for_dataset(cfg.data.data_path)
@@ -92,11 +93,14 @@ def main(cfg: TrainConfig) -> dict:
         mesh = mesh_lib.create_mesh(cfg.data_parallel)
         print(f"Data-parallel mesh over {mesh.devices.size} devices")
 
-    batch_size = cfg.batch_size
+    batch_size = cfg.batch_size  # GLOBAL batch
     if mesh is not None:
         batch_size = mesh_lib.pad_batch_to_multiple(batch_size, mesh.devices.size)
+    # Each host loads its slice of the global batch; shard_batch assembles
+    # the global array from the per-process slices.
+    local_batch = max(1, batch_size // num_hosts)
 
-    loader = HostLoader(train_index, batch_size, shuffle=True, seed=cfg.seed,
+    loader = HostLoader(train_index, local_batch, shuffle=True, seed=cfg.seed,
                         use_pk_maps=cfg.data.use_pk_maps,
                         drop_last=mesh is not None,
                         prefetch=cfg.data.prefetch,
@@ -201,14 +205,17 @@ def main(cfg: TrainConfig) -> dict:
                         f"{metrics['confusion_str']}\n\n")
 
         if cfg.save_best:
-            ckpt.save("latest", state, epoch=epoch, best_dice=best_dice,
-                      config_json=cfg_json, seed=cfg.seed)
-            if best_dice < dice:
-                ckpt.save("best", state, epoch=epoch, best_dice=dice,
+            if is_main:
+                ckpt.save("latest", state, epoch=epoch, best_dice=best_dice,
                           config_json=cfg_json, seed=cfg.seed)
+            if best_dice < dice:
+                if is_main:
+                    ckpt.save("best", state, epoch=epoch, best_dice=dice,
+                              config_json=cfg_json, seed=cfg.seed)
+                    print(f"New best model saved at epoch {epoch}, "
+                          f"Dice = {dice:.4f}")
                 best_dice = dice
-                print(f"New best model saved at epoch {epoch}, Dice = {dice:.4f}")
-        else:
+        elif is_main:
             ckpt.save(f"epoch{epoch}", state, epoch=epoch, best_dice=best_dice,
                       config_json=cfg_json, seed=cfg.seed)
 
@@ -239,7 +246,8 @@ def main(cfg: TrainConfig) -> dict:
         num_classes, collect_outputs=True)
 
     for idx, (logits, (image, target)) in enumerate(zip(
-            test_metrics["outputs"], test_metrics["batches"])):
+            test_metrics["outputs"] if is_main else [],
+            test_metrics["batches"] if is_main else [])):
         # Unified argmax prediction (SURVEY §3.3: the reference splits
         # between sigmoid-threshold and argmax; we standardize on argmax
         # of the softmax, foreground = class 1).

@@ -17,36 +17,51 @@ from typing import Optional
 import jax
 
 
-def maybe_initialize(coordinator_address: Optional[str] = None,
-                     num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> bool:
-    """Initialize jax.distributed when running multi-host.
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed (the user asked for multi-host, so a
+    failure RAISES rather than silently degrading to independent hosts).
 
-    On TPU pods the arguments auto-detect from the environment; explicit
-    values (or JAX_COORDINATOR_ADDRESS etc.) override. Returns True when
-    distributed mode is active. Safe to call on a single host (no-op when
-    nothing indicates a multi-process run).
+    On GCE TPU pods jax.distributed.initialize auto-detects everything from
+    the metadata server — no env vars or arguments needed; explicit values
+    override. Returns True when >1 process is participating.
     """
     already = getattr(jax.distributed, "is_initialized", None)
     if callable(already) and already():
         return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_count() > 1
 
+
+def maybe_initialize(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Best-effort variant for environments where multi-host is plausible
+    but not certain (used by tooling, NOT by --multihost): only attempts
+    initialization when coordinator env vars are present, and degrades to
+    single-host on failure."""
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return jax.process_count() > 1
     has_env = (coordinator_address
                or os.environ.get("JAX_COORDINATOR_ADDRESS")
                or os.environ.get("COORDINATOR_ADDRESS")
-               or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-               or os.environ.get("TPU_WORKER_HOSTNAMES"))
+               or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not has_env:
         return False
     try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except Exception as e:  # single-host dev boxes with stray env vars
+        return initialize(coordinator_address, num_processes, process_id)
+    except Exception as e:
         print(f"jax.distributed.initialize skipped: {e}")
         return False
-    return jax.process_count() > 1
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
 
 
 def host_info() -> tuple[int, int]:

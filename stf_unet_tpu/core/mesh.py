@@ -32,6 +32,12 @@ def create_mesh(n_data: int = 0, devices: Optional[Sequence[jax.Device]] = None)
         n_data = len(devices)
     if n_data > len(devices):
         raise ValueError(f"requested {n_data} data shards but only {len(devices)} devices")
+    if jax.process_count() > 1 and n_data != len(devices):
+        # A prefix subset would hold only the first hosts' chips; other
+        # processes could not address the mesh.
+        raise ValueError(
+            f"multi-host meshes must span all {len(devices)} global devices "
+            f"(got data_parallel={n_data}); use data_parallel=0")
     return Mesh(np.asarray(devices[:n_data]).reshape(n_data), (DATA_AXIS,))
 
 
@@ -45,9 +51,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host pytree of arrays with the batch axis sharded over `mesh`."""
+    """Place a host pytree of arrays with the batch axis sharded over `mesh`.
+
+    Single-process: a plain device_put. Multi-host: each process supplies
+    its LOCAL slice of the global batch (the loaders are host-sharded) and
+    the global array is assembled with
+    jax.make_array_from_process_local_data — device_put with a global
+    sharding would require every process to hold the identical global value.
+    """
+    multiprocess = jax.process_count() > 1
+
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        sharding = batch_sharding(mesh, np.ndim(x))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
     return jax.tree_util.tree_map(_put, tree)
 
 

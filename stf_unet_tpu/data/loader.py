@@ -95,7 +95,8 @@ class HostLoader:
                  shuffle: bool, seed: int = 0, use_pk_maps: bool = False,
                  drop_last: bool = False, canvas_multiple: int = 32,
                  prefetch: int = 2, use_native: Optional[bool] = None,
-                 host_index: int = 0, num_hosts: int = 1):
+                 host_index: int = 0, num_hosts: int = 1,
+                 fixed_canvas: bool = True):
         self.index = index
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -110,6 +111,29 @@ class HostLoader:
         self.use_native = use_native
         self.host_index = host_index
         self.num_hosts = num_hosts
+        # One dataset-wide canvas keeps every batch the SAME shape, so the
+        # fused augment+train program compiles exactly once (per-batch-max
+        # canvases would recompile the whole step per slice geometry).
+        # Probing is header-only (native stf_image_size / PIL lazy open).
+        self.canvas: Optional[Tuple[int, int]] = None
+        if fixed_canvas and len(index) > 0:
+            self.canvas = self._probe_canvas()
+
+    def _probe_canvas(self) -> Tuple[int, int]:
+        from stf_unet_tpu.data import native_loader
+        max_h = max_w = 1
+        for rec in self.index.records:
+            size = None
+            if self.use_native:
+                size = native_loader.image_size(rec.image_paths[0])
+            if size is None:
+                from PIL import Image
+                with Image.open(rec.image_paths[0]) as im:
+                    size = (im.height, im.width)
+            max_h = max(max_h, size[0])
+            max_w = max(max_w, size[1])
+        cm = self.canvas_multiple
+        return (-(-max_h // cm) * cm, -(-max_w // cm) * cm)
 
     def __len__(self) -> int:
         n = len(self.index) // self.num_hosts if self.num_hosts > 1 \
@@ -123,9 +147,12 @@ class HostLoader:
             return self._make_batch_native(recs)
         samples = [load_sample_raw(r, self.use_pk_maps) for r in recs]
         sizes = np.asarray([s[0].shape[1:] for s in samples], dtype=np.int32)
-        cm = self.canvas_multiple
-        ch = int(-(-sizes[:, 0].max() // cm) * cm)
-        cw = int(-(-sizes[:, 1].max() // cm) * cm)
+        if self.canvas is not None:
+            ch, cw = self.canvas
+        else:
+            cm = self.canvas_multiple
+            ch = int(-(-sizes[:, 0].max() // cm) * cm)
+            cw = int(-(-sizes[:, 1].max() // cm) * cm)
         frames = _pad_canvas([s[0] for s in samples], (ch, cw), fill=0)
         masks = _pad_canvas([s[1] for s in samples], (ch, cw), fill=255)
         pk = None
@@ -140,11 +167,14 @@ class HostLoader:
 
         b = len(recs)
         t_steps = len(recs[0].image_paths)
-        probed = [native_loader.image_size(r.image_paths[0]) or (0, 0)
-                  for r in recs]
-        cm = self.canvas_multiple
-        ch = int(-(-max(h for h, _ in probed) // cm) * cm)
-        cw = int(-(-max(w for _, w in probed) // cm) * cm)
+        if self.canvas is not None:
+            ch, cw = self.canvas
+        else:
+            probed = [native_loader.image_size(r.image_paths[0]) or (0, 0)
+                      for r in recs]
+            cm = self.canvas_multiple
+            ch = int(-(-max(h for h, _ in probed) // cm) * cm)
+            cw = int(-(-max(w for _, w in probed) // cm) * cm)
 
         frame_paths = [p for r in recs for p in r.image_paths]
         canvas, fsizes = native_loader.decode_batch(frame_paths, ch, cw, fill=0)
@@ -178,7 +208,10 @@ class HostLoader:
             # Per-host dataset sharding for multi-host meshes (SURVEY §2.8):
             # every host draws the SAME seeded permutation, then takes its
             # strided slice — disjoint cover, no coordination traffic.
-            order = order[self.host_index::self.num_hosts]
+            # Truncate to the common floor so every host yields the SAME
+            # number of batches (hosts proceed in lockstep).
+            per_host = len(order) // self.num_hosts
+            order = order[self.host_index::self.num_hosts][:per_host]
         if self.drop_last:
             order = order[: len(self) * self.batch_size]
 

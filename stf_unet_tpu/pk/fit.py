@@ -139,7 +139,8 @@ def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
     n, t_steps = curves.shape
     params = _init_params(n, cfg)
 
-    from stf_unet_tpu.pk.tofts import _dual_sums, extended_tofts_with_jacobian
+    from stf_unet_tpu.pk.tofts import (_dual_sums, extended_tofts_from_sums,
+                                       extended_tofts_with_jacobian)
 
     def res_and_jac(p):
         pred, jac = extended_tofts_with_jacobian(quad, p[:, 0], p[:, 1],
@@ -149,8 +150,7 @@ def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
     def residuals(p):
         # forward-only: ride the fused kernel on TPU too
         s, _ = _dual_sums(quad, p[:, 0] / p[:, 1], "auto")
-        pred = p[:, 2][:, None] * quad.aif_at_t[None, :] + p[:, 0][:, None] * s
-        return pred - curves
+        return extended_tofts_from_sums(quad, p[:, 0], p[:, 2], s) - curves
 
     def step(carry, _):
         p, lam = carry

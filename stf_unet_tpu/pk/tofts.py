@@ -74,6 +74,14 @@ def _dual_sums(quad: ToftsQuadrature, rate: jax.Array, backend: str):
     return s, s_lag
 
 
+def extended_tofts_from_sums(quad: ToftsQuadrature, ktrans: jax.Array,
+                             vp: jax.Array, s: jax.Array) -> jax.Array:
+    """C = vp Cp(t) + K S — the forward model given a precomputed S.
+    Single source of truth for the expression (used by the batch forward,
+    the Jacobian path, and the LM trial step)."""
+    return vp[:, None] * quad.aif_at_t[None, :] + ktrans[:, None] * s
+
+
 def extended_tofts_with_jacobian(quad: ToftsQuadrature, ktrans: jax.Array,
                                  ve: jax.Array, vp: jax.Array,
                                  backend: str = "auto"):
@@ -90,7 +98,7 @@ def extended_tofts_with_jacobian(quad: ToftsQuadrature, ktrans: jax.Array,
     Pallas kernel on TPU (forward-only; no autodiff needed here).
     """
     s, s_lag = _dual_sums(quad, ktrans / ve, backend)
-    c = vp[:, None] * quad.aif_at_t[None, :] + ktrans[:, None] * s
+    c = extended_tofts_from_sums(quad, ktrans, vp, s)
     d_k = s - (ktrans / ve)[:, None] * s_lag
     d_ve = ((ktrans ** 2) / (ve ** 2))[:, None] * s_lag
     d_vp = jnp.broadcast_to(quad.aif_at_t[None, :], c.shape)
