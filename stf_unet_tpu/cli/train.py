@@ -71,6 +71,13 @@ def main(cfg: TrainConfig) -> dict:
         jax.config.update("jax_debug_nans", True)
         print("NaN sanitizer enabled (jax_debug_nans)")
 
+    if cfg.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
+        print(f"matmul precision: {cfg.matmul_precision}")
+    if cfg.aux:
+        print("note: --aux accepted for reference parity; these models "
+              "define no auxiliary head (ref models never return one either)")
+
     if cfg.generate_pk_maps and is_main:
         print("Generating PK parameter maps...")
         from stf_unet_tpu.pk.maps import generate_pk_maps_for_dataset

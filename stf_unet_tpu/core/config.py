@@ -112,6 +112,14 @@ class TrainConfig:
     # bf16 compute policy is the TPU-native stand-in for --amp
     # (ref:train.py:112-113,240-242); no loss scaling needed on TPU.
     amp: bool = False
+    # Matmul precision knob; 'default' already uses the TPU's reduced-
+    # precision passes (the analogue of the reference's opt-in TF32,
+    # ref:train.py:113,129-133); 'highest' forces full f32 accumulation.
+    matmul_precision: str = "default"
+    # Auxiliary-head loss weight flag, accepted for reference CLI parity
+    # (ref:train.py:102); neither reference model emits an 'aux' head, and
+    # the criterion already applies the 0.5 weighting when one exists.
+    aux: bool = False
     silent: bool = False
     test_only: bool = False
     generate_pk_maps: bool = False
@@ -224,6 +232,7 @@ def parse_config(argv: Optional[Sequence[str]] = None,
         "--weight-decay": ("optim_weight_decay", float),
         "--use-pk-maps": ("data_use_pk_maps", _parse_bool),
         "--use-subtraction": ("data_use_subtraction", _parse_bool),
+        "--tf32": ("matmul_precision_fast", _parse_bool),
     }
     existing = {opt for a in parser._actions for opt in a.option_strings}
     for flag, (dest, typ) in alias.items():
@@ -235,6 +244,9 @@ def parse_config(argv: Optional[Sequence[str]] = None,
                 parser.add_argument(flag, dest=dest, type=typ, default=None)
     ns = parser.parse_args(argv)
     cfg = _apply_overrides(cfg, ns)
+    if getattr(ns, "matmul_precision_fast", None):
+        # --tf32: the reduced-precision matmul mode; TPU 'default' is it.
+        cfg = dataclasses.replace(cfg, matmul_precision="default")
     # Keep the coupled flags in sync (ref wires --use-pk-maps into both the
     # dataset and the model, ref:train.py:181,221).
     cfg = dataclasses.replace(
