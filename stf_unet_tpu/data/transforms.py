@@ -92,12 +92,12 @@ def _build_affine(scale, res_h, res_w, hflip, vflip, angle, y0, x0):
     sin_a = jnp.sin(angle)
 
     # out -> rotated-resized coords: p_r = p + (y0, x0)
-    # rotated -> flipped coords: q = R(-angle) about (cy, cx)
-    # PIL rotate(angle) is counterclockwise in image convention;
-    # inverse rotation in (row, col): rows grow downward, so the matrix for
-    # the inverse of CCW-by-angle is [[cos, -sin], [sin, cos]] in (y, x).
-    m00, m01 = cos_a, -sin_a
-    m10, m11 = sin_a, cos_a
+    # rotated -> flipped coords: the inverse of PIL rotate(angle)
+    # (counterclockwise, about the pixel-center image center) in (row, col)
+    # coordinates is [[cos, sin], [-sin, cos]] — verified against
+    # Image.rotate to 1 intensity level (tests/test_data.py).
+    m00, m01 = cos_a, sin_a
+    m10, m11 = -sin_a, cos_a
 
     # flipped -> resized coords: y' = y (vflip: res_h-1-y), x' similarly.
     sy = jnp.where(vflip, -1.0, 1.0)

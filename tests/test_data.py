@@ -208,3 +208,83 @@ def test_config_bare_boolean_flags():
     assert cfg.model.use_pk_maps is True
     assert cfg.amp is True
     assert cfg.silent is False
+
+
+def test_affine_warp_matches_pil_resize_crop():
+    """Fixed-parameter check of the fused warp: upscale x2 (PIL bilinear has
+    no antialias when upscaling) + crop == PIL resize -> crop."""
+    from PIL import Image
+    from stf_unet_tpu.data.transforms import _bilinear_gather, _build_affine
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+
+    # PIL chain: short edge 32 -> 64 (scale 2), crop 48x48 at (y0=8, x0=5)
+    pil = Image.fromarray(src).resize((64, 64), Image.BILINEAR)
+    want = np.asarray(pil, dtype=np.float32)[8:8 + 48, 5:5 + 48] / 255.0
+
+    compose = _build_affine(
+        scale=jnp.float32(2.0), res_h=jnp.float32(64.0),
+        res_w=jnp.float32(64.0), hflip=jnp.asarray(False),
+        vflip=jnp.asarray(False), angle=jnp.float32(0.0),
+        y0=jnp.float32(8.0), x0=jnp.float32(5.0))
+    gy, gx = compose(*jnp.meshgrid(jnp.arange(48, dtype=jnp.float32),
+                                   jnp.arange(48, dtype=jnp.float32),
+                                   indexing="ij"))
+    got = np.asarray(_bilinear_gather(
+        jnp.asarray(src, jnp.float32) / 255.0, gy, gx,
+        jnp.float32(32), jnp.float32(32)))
+    # PIL rounds to uint8 after resize; allow 1 intensity level
+    assert np.abs(got - want).max() <= (1.0 / 255.0) * 1.01
+
+
+def test_affine_warp_flip_parity():
+    """hflip in the composed warp == PIL transpose on the resized image."""
+    from PIL import Image
+    from stf_unet_tpu.data.transforms import _bilinear_gather, _build_affine
+
+    rng = np.random.default_rng(10)
+    src = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+    pil = Image.fromarray(src).resize((48, 48), Image.BILINEAR)
+    flipped = pil.transpose(Image.FLIP_LEFT_RIGHT)
+    want = np.asarray(flipped, dtype=np.float32)[4:4 + 32, 6:6 + 32] / 255.0
+
+    compose = _build_affine(
+        scale=jnp.float32(2.0), res_h=jnp.float32(48.0),
+        res_w=jnp.float32(48.0), hflip=jnp.asarray(True),
+        vflip=jnp.asarray(False), angle=jnp.float32(0.0),
+        y0=jnp.float32(4.0), x0=jnp.float32(6.0))
+    gy, gx = compose(*jnp.meshgrid(jnp.arange(32, dtype=jnp.float32),
+                                   jnp.arange(32, dtype=jnp.float32),
+                                   indexing="ij"))
+    got = np.asarray(_bilinear_gather(
+        jnp.asarray(src, jnp.float32) / 255.0, gy, gx,
+        jnp.float32(24), jnp.float32(24)))
+    assert np.abs(got - want).max() <= (1.0 / 255.0) * 1.01
+
+
+def test_affine_warp_rotation_matches_pil():
+    """Rotation component == PIL Image.rotate (CCW, bilinear, expand=False)
+    to 1 intensity level away from the border fill."""
+    from PIL import Image
+    from stf_unet_tpu.data.transforms import _bilinear_gather, _build_affine
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    angle = 20.0
+    pil = Image.fromarray(src).rotate(angle, resample=Image.BILINEAR,
+                                      expand=False)
+    want = np.asarray(pil, np.float32)[16:48, 16:48] / 255.0
+
+    compose = _build_affine(
+        scale=jnp.float32(1.0), res_h=jnp.float32(64.0),
+        res_w=jnp.float32(64.0), hflip=jnp.asarray(False),
+        vflip=jnp.asarray(False), angle=jnp.float32(np.deg2rad(angle)),
+        y0=jnp.float32(16.0), x0=jnp.float32(16.0))
+    gy, gx = compose(*jnp.meshgrid(jnp.arange(32, dtype=jnp.float32),
+                                   jnp.arange(32, dtype=jnp.float32),
+                                   indexing="ij"))
+    got = np.asarray(_bilinear_gather(
+        jnp.asarray(src, jnp.float32) / 255.0, gy, gx,
+        jnp.float32(64), jnp.float32(64)))
+    assert np.abs(got - want).max() <= (1.0 / 255.0) * 1.5
