@@ -87,13 +87,22 @@ def run_pipeline(args: argparse.Namespace) -> dict:
         pred = np.argmax(logits, axis=-1).astype(np.uint8)
 
         # PK fit on the raw (un-augmented) temporal stack
-        imgs, tissue = preprocess_images(frames, pk_cfg)
+        if args.enhanced:
+            from stf_unet_tpu.pk.enhanced import (enhanced_preprocess,
+                                                  postprocess_param_maps)
+            imgs, tissue = enhanced_preprocess(frames)
+        else:
+            imgs, tissue = preprocess_images(frames, pk_cfg)
         pixels = np.asarray(imgs).transpose(1, 2, 0).reshape(-1, frames.shape[0])
         flat = np.asarray(tissue).reshape(-1)
         fitted = solver(pixels[flat], quad, pk_cfg)
-        ktrans = np.zeros(flat.shape[0], np.float32)
-        ktrans[flat] = fitted[:, 0]
-        ktrans = ktrans.reshape(frames.shape[1:])
+        param_maps = np.zeros((3, flat.shape[0]), np.float32)
+        param_maps[:, flat] = fitted.T
+        param_maps = param_maps.reshape((3,) + frames.shape[1:])
+        if args.enhanced:
+            param_maps = postprocess_param_maps(
+                param_maps, np.asarray(tissue, bool))
+        ktrans = param_maps[0]
         timer.update(time.perf_counter() - t0)
 
         # Combined render: Ktrans heat (red) + predicted tumor contour (green)
@@ -130,6 +139,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                     choices=["lm", "adam"])
     ap.add_argument("--base-c", type=int, default=64)
     ap.add_argument("--use-subtraction", action="store_true")
+    ap.add_argument("--enhanced", action="store_true",
+                    help="Otsu/bilateral PK preprocessing + param-map "
+                         "postprocessing (ref:test_pk_fitting.py fork)")
     return run_pipeline(ap.parse_args(argv))
 
 

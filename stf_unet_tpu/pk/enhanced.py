@@ -114,8 +114,24 @@ def fit_volume_enhanced(images: np.ndarray, cfg: PKConfig,
 
     pixels = processed.transpose(1, 2, 0).reshape(-1, t_steps)
     flat_mask = tissue_mask.reshape(-1)
-    solver = fit_lm if cfg.solver == "lm" else fit_adam
-    fitted = solver(pixels[flat_mask], quad, cfg)
+    valid = pixels[flat_mask]
+
+    if debug_output_dir is not None:
+        from stf_unet_tpu.pk.debug import (plot_sample_time_curves,
+                                           render_aif_debug)
+        plot_sample_time_curves(valid, cfg.time_points, debug_output_dir)
+        if cfg.aif_method == "auto":
+            render_aif_debug(processed, tissue_mask, cfg.time_points,
+                             debug_output_dir)
+
+    if debug_output_dir is not None and cfg.solver == "adam":
+        from stf_unet_tpu.pk.debug import plot_loss_curve
+        from stf_unet_tpu.pk.fit import fit_adam_debug
+        fitted, losses = fit_adam_debug(valid, quad, cfg)
+        plot_loss_curve(losses, debug_output_dir)
+    else:
+        solver = fit_lm if cfg.solver == "lm" else fit_adam
+        fitted = solver(valid, quad, cfg)
 
     maps = np.zeros((3, h * w), np.float32)
     maps[:, flat_mask] = fitted.T

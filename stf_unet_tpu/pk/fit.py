@@ -12,8 +12,9 @@ Two solvers over the same quadrature forward model:
     analytic 3-parameter Jacobian and a closed-form 3x3 solve; converges in
     ~20 iterations instead of 100 Adam epochs.
 
-Both are jit-compiled once per chunk shape and stream voxel chunks to bound
-the [N, T, Q] working set in HBM.
+Both stream voxel chunks to bound the [N, T, Q] working set in HBM; chunks
+are padded to power-of-two buckets so a whole dataset run compiles each
+solver O(1) times rather than once per distinct tissue-voxel count.
 
 Documented divergence: the reference divides by 255 twice (once in
 process_patient ref:662, again in preprocess_images ref:173), fitting
@@ -34,6 +35,19 @@ from stf_unet_tpu.core.config import PKConfig
 from stf_unet_tpu.pk.tofts import ToftsQuadrature, extended_tofts_batch
 
 CHUNK = 16384
+MIN_BUCKET = 256
+
+
+def _bucket_size(n: int) -> int:
+    """Pad target for a voxel chunk: next power of two >= n, in
+    [MIN_BUCKET, CHUNK]. Bounds the number of distinct compiled solver
+    shapes at log2(CHUNK/MIN_BUCKET)+1 = 7 per solver across an entire
+    dataset run (the reference's fixed-1024 batching envelope,
+    ref:pk_fitting.py:316-353, never recompiles either)."""
+    b = MIN_BUCKET
+    while b < n:
+        b *= 2
+    return min(b, CHUNK)
 
 
 def tissue_mask_morphology(mask, kernel: int = 5) -> np.ndarray:
@@ -105,15 +119,17 @@ def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
     # torch.optim.Adam(lr=0.005), ref:300).
     b1, b2, eps = 0.9, 0.999, 1e-8
 
-    def mse_grad(params):
+    def mse_and_grad(params):
         def loss_fn(p):
             pred = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2])
-            return jnp.mean((pred - curves) ** 2)
-        return jax.grad(loss_fn)(params)
+            row_mse = jnp.mean((pred - curves) ** 2, axis=1)
+            return jnp.mean(row_mse), row_mse
+        (_, rows), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return rows, g
 
     def step(carry, i):
         params, m, v = carry
-        g = mse_grad(params)
+        loss, g = mse_and_grad(params)
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g
         t = i + 1
@@ -121,12 +137,12 @@ def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
         vhat = v / (1 - b2 ** t)
         params = params - cfg.lr * mhat / (jnp.sqrt(vhat) + eps)
         params = _clamp(params, cfg)
-        return (params, m, v), None
+        return (params, m, v), loss
 
     init = (params, jnp.zeros_like(params), jnp.zeros_like(params))
-    (params, _, _), _ = jax.lax.scan(
+    (params, _, _), row_losses = jax.lax.scan(
         step, init, jnp.arange(cfg.num_epochs, dtype=jnp.float32))
-    return params
+    return params, row_losses  # [N, 3], [num_epochs, N]
 
 
 # ---------------------------------------------------------------------------
@@ -184,18 +200,43 @@ def _fit_chunked(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig,
     out = []
     for start in range(0, n, CHUNK):
         chunk = curves[start:start + CHUNK]
-        pad = CHUNK - chunk.shape[0] if n > CHUNK else 0
+        m = chunk.shape[0]
+        pad = _bucket_size(m) - m
         if pad > 0:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        fitted = np.asarray(chunk_fn(jnp.asarray(chunk), quad, cfg))
-        out.append(fitted[:chunk.shape[0] - pad] if pad else fitted)
+        res = chunk_fn(jnp.asarray(chunk), quad, cfg)
+        fitted = np.asarray(res[0] if isinstance(res, tuple) else res)
+        out.append(fitted[:m])
     return np.concatenate(out, axis=0)
 
 
 def fit_adam(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig) -> np.ndarray:
     """[N, T] signal curves -> [N, 3] (Ktrans, ve, vp), Adam parity path."""
     return _fit_chunked(curves, quad, cfg, _adam_fit_chunk)
+
+
+def fit_adam_debug(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """fit_adam plus the per-epoch loss history (mean over chunks) for the
+    reference's training_loss.png debug render (ref:pk_fitting.py:357-366)."""
+    n = curves.shape[0]
+    if n == 0:
+        return (np.zeros((0, 3), np.float32),
+                np.zeros((cfg.num_epochs,), np.float32))
+    out, losses = [], []
+    for start in range(0, n, CHUNK):
+        chunk = curves[start:start + CHUNK]
+        m = chunk.shape[0]
+        pad = _bucket_size(m) - m
+        if pad > 0:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        fitted, row_losses = _adam_fit_chunk(jnp.asarray(chunk), quad, cfg)
+        out.append(np.asarray(fitted)[:m])
+        losses.append(np.asarray(row_losses)[:, :m].sum(axis=1))
+    return (np.concatenate(out, axis=0),
+            np.sum(losses, axis=0) / n)
 
 
 def fit_lm(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig) -> np.ndarray:

@@ -24,9 +24,13 @@ PARAM_NAMES = ("ktrans", "ve", "vp")
 
 
 def fit_volume(images: np.ndarray, cfg: PKConfig,
-               output_dir: Optional[str] = None) -> np.ndarray:
+               output_dir: Optional[str] = None,
+               debug_output_dir: Optional[str] = None) -> np.ndarray:
     """[T, H, W] signal volume -> [3, H, W] (Ktrans, ve, vp) maps
-    (ref:fit_volume_gpu, pk_fitting.py:233-420)."""
+    (ref:fit_volume_gpu, pk_fitting.py:233-420). debug_output_dir enables
+    the reference's diagnostic renders: sample voxel curves, Adam loss
+    curve, auto-AIF location/curve/derivative maps
+    (ref:271-287,357-366; ref:test_pk_fitting.py:204-231)."""
     t_steps, height, width = images.shape
     if t_steps != len(cfg.time_points):
         # Missing SUBk sequences were warn-and-skipped upstream
@@ -51,9 +55,23 @@ def fit_volume(images: np.ndarray, cfg: PKConfig,
         print(f"auto AIF voxel at {pos}")
     quad = ToftsQuadrature.build(cfg.time_points, aif, cfg.dt)
 
+    if debug_output_dir is not None:
+        from stf_unet_tpu.pk.debug import (plot_sample_time_curves,
+                                           render_aif_debug)
+        plot_sample_time_curves(valid, cfg.time_points, debug_output_dir)
+        if cfg.aif_method == "auto":
+            render_aif_debug(np.asarray(imgs), mask_np, cfg.time_points,
+                             debug_output_dir)
+
     t0 = time.time()
-    solver = fit_lm if cfg.solver == "lm" else fit_adam
-    fitted = solver(valid, quad, cfg)  # [Nvalid, 3]
+    if debug_output_dir is not None and cfg.solver == "adam":
+        from stf_unet_tpu.pk.debug import plot_loss_curve
+        from stf_unet_tpu.pk.fit import fit_adam_debug
+        fitted, losses = fit_adam_debug(valid, quad, cfg)
+        plot_loss_curve(losses, debug_output_dir)
+    else:
+        solver = fit_lm if cfg.solver == "lm" else fit_adam
+        fitted = solver(valid, quad, cfg)  # [Nvalid, 3]
     print(f"fit ({cfg.solver}) done in {time.time() - t0:.2f}s")
 
     param_maps = np.zeros((3, height * width), np.float32)
@@ -105,15 +123,9 @@ def save_param_maps(param_maps: np.ndarray, output_dir: str,
         os.path.join(output_dir, "combined_map.png"))
 
 
-def process_patient(patient_path: str, output_base_dir: str,
-                    cfg: Optional[PKConfig] = None) -> Optional[np.ndarray]:
-    """Fit the first slice of each SUB1..8 sequence for one patient
-    (ref:605-670)."""
-    cfg = cfg or PKConfig()
-    patient_id = os.path.basename(patient_path)
-    print(f"processing patient: {patient_id}")
-    output_dir = os.path.join(output_base_dir, patient_id)
-
+def _load_patient_frames(patient_path: str) -> Optional[np.ndarray]:
+    """First slice of each SUB1..8 sequence -> [T<=8, H, W] uint8
+    (ref:605-662 loading), warn-and-skip on missing sequences."""
     frames = []
     for i in range(1, 9):
         sub = os.path.join(patient_path, f"SUB{i}")
@@ -130,14 +142,41 @@ def process_patient(patient_path: str, output_base_dir: str,
     if not frames:
         print(f"error: no valid subtraction images in {patient_path}")
         return None
+    return np.stack(frames)
 
-    maps = fit_volume(np.stack(frames), cfg, output_dir)
+
+def process_patient(patient_path: str, output_base_dir: str,
+                    cfg: Optional[PKConfig] = None,
+                    enhanced: bool = False,
+                    debug: bool = False) -> Optional[np.ndarray]:
+    """Fit the first slice of each SUB1..8 sequence for one patient
+    (ref:605-670). enhanced=True routes through the test_pk_fitting.py
+    fork's Otsu/bilateral preprocessing + param-map postprocessing;
+    debug=True writes the diagnostic render set under <patient>/debug/."""
+    cfg = cfg or PKConfig()
+    patient_id = os.path.basename(patient_path)
+    print(f"processing patient: {patient_id}")
+    output_dir = os.path.join(output_base_dir, patient_id)
+    debug_dir = os.path.join(output_dir, "debug") if debug else None
+
+    frames = _load_patient_frames(patient_path)
+    if frames is None:
+        return None
+
+    if enhanced:
+        from stf_unet_tpu.pk.enhanced import fit_volume_enhanced
+        maps = fit_volume_enhanced(frames, cfg, output_dir,
+                                   debug_output_dir=debug_dir)
+    else:
+        maps = fit_volume(frames, cfg, output_dir,
+                          debug_output_dir=debug_dir)
     print(f"PK maps for patient {patient_id} saved to {output_dir}")
     return maps
 
 
 def process_dataset(dataset_path: str, split: str = "training",
-                    cfg: Optional[PKConfig] = None) -> None:
+                    cfg: Optional[PKConfig] = None,
+                    enhanced: bool = False, debug: bool = False) -> None:
     """All patients of one split (ref:673-696)."""
     images_dir = os.path.join(dataset_path, "seg", split, "images")
     output_base = os.path.join(dataset_path, "seg", split, "pk_maps")
@@ -146,12 +185,15 @@ def process_dataset(dataset_path: str, split: str = "training",
                       if os.path.isdir(os.path.join(images_dir, p)))
     print(f"found {len(patients)} patients")
     for patient in patients:
-        process_patient(os.path.join(images_dir, patient), output_base, cfg)
+        process_patient(os.path.join(images_dir, patient), output_base, cfg,
+                        enhanced=enhanced, debug=debug)
 
 
 def generate_pk_maps_for_dataset(dataset_path: str,
                                  splits: Optional[Sequence[str]] = None,
-                                 cfg: Optional[PKConfig] = None
+                                 cfg: Optional[PKConfig] = None,
+                                 enhanced: bool = False,
+                                 debug: bool = False
                                  ) -> Dict[str, str]:
     """All splits (ref:699-722); hooked into training via
     --generate-pk-maps (ref:train.py:165-169)."""
@@ -159,8 +201,38 @@ def generate_pk_maps_for_dataset(dataset_path: str,
     out = {}
     for split in splits:
         print(f"generating PK maps for {split}...")
-        process_dataset(dataset_path, split, cfg)
+        process_dataset(dataset_path, split, cfg, enhanced=enhanced,
+                        debug=debug)
         out[split] = os.path.join(dataset_path, "seg", split, "pk_maps")
+    return out
+
+
+def compare_aif_for_dataset(dataset_path: str,
+                            splits: Optional[Sequence[str]] = None,
+                            cfg: Optional[PKConfig] = None
+                            ) -> Dict[str, str]:
+    """Per-patient AIF-method comparison artifacts
+    (ref:test_pk_fitting.py:709-887 test_aif_methods): fits each patient
+    volume with population/modified/auto AIFs and renders per-method maps
+    plus pairwise difference maps under
+    `<root>/seg/<split>/pk_aif_comparison/<patient>/`."""
+    from stf_unet_tpu.pk.enhanced import compare_aif_methods
+    cfg = cfg or PKConfig()
+    splits = splits or ["training", "val", "test"]
+    out = {}
+    for split in splits:
+        images_dir = os.path.join(dataset_path, "seg", split, "images")
+        output_base = os.path.join(dataset_path, "seg", split,
+                                   "pk_aif_comparison")
+        patients = sorted(p for p in os.listdir(images_dir)
+                          if os.path.isdir(os.path.join(images_dir, p)))
+        for patient in patients:
+            frames = _load_patient_frames(os.path.join(images_dir, patient))
+            if frames is None:
+                continue
+            compare_aif_methods(frames, cfg,
+                                os.path.join(output_base, patient))
+        out[split] = output_base
     return out
 
 
@@ -173,10 +245,25 @@ def main(argv=None):
                     choices=["population", "modified", "auto"])
     ap.add_argument("--solver", type=str, default="lm",
                     choices=["lm", "adam"])
+    ap.add_argument("--enhanced", action="store_true",
+                    help="Otsu/bilateral preprocessing + param-map "
+                         "postprocessing (ref:test_pk_fitting.py fork)")
+    ap.add_argument("--compare-aif", action="store_true",
+                    help="render per-patient AIF-method comparison maps "
+                         "instead of pk_maps (ref:test_aif_methods)")
+    ap.add_argument("--debug", action="store_true",
+                    help="write diagnostic renders (sample curves, loss "
+                         "curve, AIF maps) under <patient>/debug/")
     args = ap.parse_args(argv)
     cfg = PKConfig(aif_method=args.aif_method, solver=args.solver)
-    generate_pk_maps_for_dataset(args.dataset_path,
-                                 args.splits.split(","), cfg)
+    if args.compare_aif:
+        compare_aif_for_dataset(args.dataset_path, args.splits.split(","),
+                                cfg)
+    else:
+        generate_pk_maps_for_dataset(args.dataset_path,
+                                     args.splits.split(","), cfg,
+                                     enhanced=args.enhanced,
+                                     debug=args.debug)
 
 
 if __name__ == "__main__":
