@@ -7,7 +7,10 @@ Usage: python -m stf_unet_tpu.cli.test --model unet --model-dir ./save_weights
 Loads the best checkpoint, runs test-set inference with overlay renders,
 then prints the full eval metrics. Prediction semantics are unified on
 argmax (SURVEY §3.3 — the reference's sigmoid/channel-0/inversion trio is
-documented as inconsistent).
+documented as inconsistent); `--pred-mode sigmoid` reproduces the
+reference's binary path (sigmoid > 0.5 on channel 0, ref:test.py:161-172)
+for compatibility. Eval metrics are argmax-based in both modes, exactly as
+the reference's evaluate() is (ref:train_and_eval.py:331).
 """
 
 from __future__ import annotations
@@ -39,7 +42,22 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--use-subtraction", action="store_true")
     p.add_argument("--use-pk-maps", action="store_true")
     p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--pred-mode", type=str, default="argmax",
+                   choices=["argmax", "sigmoid"],
+                   help="prediction semantics for saved overlays: argmax "
+                        "(unified default) or the reference binary path "
+                        "sigmoid(logits[...,0]) > 0.5 (ref:test.py:161-172)")
     return p.parse_args(argv)
+
+
+def predict_mask(logits: np.ndarray, mode: str = "argmax") -> np.ndarray:
+    """[H, W, C] logits -> [H, W] int mask. 'argmax' is the unified
+    default; 'sigmoid' reproduces the reference binary path
+    sigmoid(logits) > 0.5 on channel 0 (ref:test.py:161-172)."""
+    if mode == "sigmoid":
+        probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, np.float32)))
+        return (probs[..., 0] > 0.5).astype(np.int32)
+    return np.argmax(logits, axis=-1)
 
 
 def test(args: argparse.Namespace) -> dict:
@@ -82,7 +100,7 @@ def test(args: argparse.Namespace) -> dict:
     os.makedirs(args.output_dir, exist_ok=True)
     for idx, (logits, (image, _)) in enumerate(zip(
             metrics["outputs"], metrics["batches"])):
-        pred = np.argmax(logits[0], axis=-1)
+        pred = predict_mask(logits[0], args.pred_mode)
         save_overlay(pred, image[0, 0, :, :, 0], args.output_dir, idx,
                      prefix=args.model)
 

@@ -26,6 +26,39 @@ from stf_unet_tpu.data.index import DatasetIndex, SampleRecord
 PK_PARAM_NAMES = ("ktrans", "ve", "vp")  # ref:my_dataset.py:203
 
 
+def prefetch_iterator(iterable, prefetch: int):
+    """Drain `iterable` on a background thread, `prefetch` items deep.
+    prefetch <= 0 degrades to plain iteration. Producer exceptions are
+    re-raised in the consumer (never a silently truncated epoch)."""
+    if prefetch <= 0:
+        yield from iterable
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put((None, item))
+            q.put(stop)
+        except BaseException as e:  # surface in the consumer
+            q.put((e, None))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        err, value = item
+        if err is not None:
+            t.join()
+            raise RuntimeError("data prefetch thread failed") from err
+        yield value
+    t.join()
+
+
 def _decode_grayscale(path: str) -> np.ndarray:
     """uint8 [H, W]. PIL decode (libjpeg/libpng) handles any path encoding,
     covering the reference's cv2-imdecode fallback (ref:151-153)."""
@@ -217,32 +250,6 @@ class HostLoader:
 
         chunks = [order[i:i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]
-
-        if self.prefetch <= 0:
-            for chunk in chunks:
-                yield self._make_batch([self.index[int(i)] for i in chunk])
-            return
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def producer():
-            try:
-                for chunk in chunks:
-                    q.put(self._make_batch([self.index[int(i)] for i in chunk]))
-                q.put(stop)
-            except BaseException as e:  # surface in the consumer, don't
-                q.put(("__prefetch_error__", e))  # silently truncate the epoch
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] == "__prefetch_error__":
-                t.join()
-                raise RuntimeError("data prefetch thread failed") from item[1]
-            yield item
-        t.join()
+        batches = (self._make_batch([self.index[int(i)] for i in chunk])
+                   for chunk in chunks)
+        yield from prefetch_iterator(batches, self.prefetch)

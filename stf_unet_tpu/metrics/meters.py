@@ -77,6 +77,24 @@ class AverageMeter:
         self.avg = self.sum / self.count
 
 
+def device_peak_memory_mb() -> Optional[float]:
+    """Peak device-memory use of the default accelerator in MB, or None
+    when the backend does not report it (CPU). TPU-native counterpart of
+    torch.cuda.max_memory_allocated (ref:train_and_eval.py:250-285
+    'max mem')."""
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+    if peak is None:
+        return None
+    return float(peak) / (1024.0 * 1024.0)
+
+
 class MetricLogger:
     """Console logger with iter/data timing and ETA (ref:209-296)."""
 
@@ -120,11 +138,15 @@ class MetricLogger:
             if i % print_freq == 0 or i == total - 1:
                 eta = iter_time.global_avg * max(total - i, 0)
                 eta_string = str(datetime.timedelta(seconds=int(eta)))
-                print(self.delimiter.join([
+                parts = [
                     header, ("[{0" + space_fmt + "}/{1}]").format(i, total),
                     f"eta: {eta_string}", str(self),
                     f"time: {iter_time}", f"data: {data_time}",
-                ]))
+                ]
+                mem = device_peak_memory_mb()
+                if mem is not None:  # ref prints 'max mem' when on-device
+                    parts.append(f"max mem: {mem:.0f}")
+                print(self.delimiter.join(parts))
             i += 1
             end = time.time()
         total_time = time.time() - start_time

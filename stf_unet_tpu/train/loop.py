@@ -192,24 +192,50 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
 
 
 def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
-                            batch_size: int = 1):
+                            batch_size: int = 1, prefetch: int = 2,
+                            bucket_by_shape: bool = True):
     """Generator of eval-preprocessed (image, target) batches from a
-    DatasetIndex (val/test loaders use batch_size=1, ref:train.py:206-211;
-    batches >1 pad targets with 255 like cat_list, ref:my_dataset.py:237-257).
-    """
-    from stf_unet_tpu.data.loader import load_sample_raw
+    DatasetIndex (val/test loaders use batch_size=1, ref:train.py:206-211).
 
-    buf_img, buf_tgt = [], []
-    for rec in index.records:
-        frames, mask, pk = load_sample_raw(rec, use_pk_maps)
-        img, tgt = eval_preprocess(frames, mask, cfg, pk)
-        buf_img.append(img)
-        buf_tgt.append(tgt)
-        if len(buf_img) == batch_size:
+    batch_size > 1 groups SAME-SHAPE samples per batch (shape bucketing), so
+    batched eval is bitwise-identical to per-sample eval — no 255-pad
+    boundary pixels perturbing conv context. bucket_by_shape=False restores
+    sequential cat_list 255-padding (ref:my_dataset.py:237-257) for
+    comparison. Decode + preprocess run in a background thread
+    (`prefetch` batches deep), overlapping host IO with device compute —
+    the eval-side counterpart of HostLoader's producer thread.
+    """
+    from stf_unet_tpu.data.loader import load_sample_raw, prefetch_iterator
+
+    def sample_iter():
+        for rec in index.records:
+            frames, mask, pk = load_sample_raw(rec, use_pk_maps)
+            yield eval_preprocess(frames, mask, cfg, pk)
+
+    def batch_iter():
+        if bucket_by_shape and batch_size > 1:
+            buckets: Dict[Tuple[int, ...], Tuple[list, list]] = {}
+            for img, tgt in sample_iter():
+                imgs, tgts = buckets.setdefault(img.shape, ([], []))
+                imgs.append(img)
+                tgts.append(tgt)
+                if len(imgs) == batch_size:
+                    yield _collate_eval(imgs, tgts)
+                    del buckets[img.shape]
+            for imgs, tgts in buckets.values():  # same-shape leftovers
+                yield _collate_eval(imgs, tgts)
+            return
+        buf_img, buf_tgt = [], []
+        for img, tgt in sample_iter():
+            buf_img.append(img)
+            buf_tgt.append(tgt)
+            if len(buf_img) == batch_size:
+                yield _collate_eval(buf_img, buf_tgt)
+                buf_img, buf_tgt = [], []
+        if buf_img:
             yield _collate_eval(buf_img, buf_tgt)
-            buf_img, buf_tgt = [], []
-    if buf_img:
-        yield _collate_eval(buf_img, buf_tgt)
+
+    yield from prefetch_iterator(batch_iter(), prefetch)
 
 
 def _collate_eval(imgs, tgts):

@@ -123,3 +123,23 @@ def test_pipeline_cli(tmp_path, synthetic_root):
     assert len(outs) == 4
     arr = np.asarray(Image.open(outs[0]))
     assert arr.ndim == 3 and arr.shape[2] == 3  # RGB overlay
+
+
+def test_predict_mask_sigmoid_matches_torch_reference():
+    """The --pred-mode sigmoid compat path reproduces the reference binary
+    semantics: torch.sigmoid(outputs) > 0.5, channel 0 (ref:test.py:161-172)."""
+    import numpy as np
+    import torch
+    from stf_unet_tpu.cli.test import predict_mask
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 3, (16, 16, 2)).astype(np.float32)
+    got = predict_mask(logits, "sigmoid")
+
+    t = torch.from_numpy(logits).permute(2, 0, 1)  # [C, H, W] as reference
+    want = (torch.sigmoid(t) > 0.5).float()[0].numpy()
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+
+    # argmax default unchanged
+    np.testing.assert_array_equal(predict_mask(logits),
+                                  np.argmax(logits, axis=-1))

@@ -288,3 +288,155 @@ def test_affine_warp_rotation_matches_pil():
         jnp.asarray(src, jnp.float32) / 255.0, gy, gx,
         jnp.float32(64), jnp.float32(64)))
     assert np.abs(got - want).max() <= (1.0 / 255.0) * 1.5
+
+
+# ---------------------------------------------------------------------------
+# Real-data readiness audit (VERDICT r1 next-step 10): adversarial layouts
+# the reference's fault-tolerance hooks exist for (ref:my_dataset.py:69-126
+# warn-and-skip, :151-153 imdecode fallback for non-ASCII paths).
+# ---------------------------------------------------------------------------
+
+def _write_tree(root, patient, seqs, slices_by_seq, mask_slices, size=24,
+                img_ext=".png"):
+    """Minimal BreaDM tree builder with per-sequence slice control."""
+    import os
+    from PIL import Image
+    import numpy as np
+    rng = np.random.default_rng(0)
+    base = os.path.join(root, "seg", "training")
+    for seq in seqs:
+        d = os.path.join(base, "images", patient, seq)
+        os.makedirs(d, exist_ok=True)
+        for name in slices_by_seq.get(seq, []):
+            arr = rng.integers(0, 255, (size, size), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, name))
+    md = os.path.join(base, "labels", patient, seqs[0])
+    os.makedirs(md, exist_ok=True)
+    for name in mask_slices:
+        m = np.zeros((size, size), np.uint8)
+        m[6:12, 6:12] = 255
+        Image.fromarray(m).save(os.path.join(md, name))
+    return root
+
+
+SEQS4 = tuple(f"VIBRANT+C{i}" for i in range(1, 5))
+
+
+def test_audit_mixed_jpg_same_name(tmp_path):
+    """A slice stored as .jpg with the same filename in EVERY sequence is
+    accepted and decodes (ref keeps exact-filename matching, :96-108)."""
+    from stf_unet_tpu.data import DatasetIndex
+    from stf_unet_tpu.data.loader import load_sample_raw
+    root = _write_tree(str(tmp_path), "P0", SEQS4,
+                       {s: ["s0.jpg"] for s in SEQS4}, ["s0.png"])
+    idx = DatasetIndex(root, "train", SEQS4)
+    assert len(idx) == 1
+    frames, mask, _ = load_sample_raw(idx[0])
+    assert frames.shape == (4, 24, 24)
+    assert set(np.unique(mask)) <= {0, 1}
+
+
+def test_audit_extension_mismatch_across_sequences_skipped(tmp_path, capsys):
+    """slice.jpg in seq1 but slice.png in the others -> filename does not
+    match in every sequence -> sample skipped (reference rule)."""
+    from stf_unet_tpu.data import DatasetIndex
+    slices = {SEQS4[0]: ["s0.jpg"]}
+    for s in SEQS4[1:]:
+        slices[s] = ["s0.png"]
+    root = _write_tree(str(tmp_path), "P0", SEQS4, slices, ["s0.png"])
+    idx = DatasetIndex(root, "train", SEQS4)
+    assert len(idx) == 0
+
+
+def test_audit_non_ascii_patient_dir(tmp_path):
+    """Non-ASCII patient directories index and decode on both the PIL and
+    the native C++ paths (the reference needs an imdecode fallback for
+    this, ref:151-153; PIL/libjpeg take raw bytes so no fallback needed)."""
+    from stf_unet_tpu.data import DatasetIndex
+    from stf_unet_tpu.data.loader import HostLoader, load_sample_raw
+    root = _write_tree(str(tmp_path), "病人001", SEQS4,
+                       {s: ["切片_000.png"] for s in SEQS4}, ["切片_000.png"])
+    idx = DatasetIndex(root, "train", SEQS4)
+    assert len(idx) == 1
+    frames, mask, _ = load_sample_raw(idx[0])
+    assert frames.shape == (4, 24, 24)
+
+    from stf_unet_tpu.data import native_loader
+    if native_loader.native_available():
+        loader = HostLoader(idx, batch_size=1, shuffle=False, use_native=True)
+        batch = next(loader.epoch(0))
+        assert batch.frames.shape[0] == 1
+        # native decode produced real pixels (size recorded, not zero)
+        assert tuple(batch.sizes[0]) == (24, 24)
+        np.testing.assert_array_equal(
+            batch.frames[0, 0, :24, :24], frames[0])
+
+
+def test_audit_mismatched_slice_sets(tmp_path):
+    """seq2 missing one slice -> only the complete slice survives."""
+    from stf_unet_tpu.data import DatasetIndex
+    slices = {s: ["a.png", "b.png"] for s in SEQS4}
+    slices[SEQS4[1]] = ["a.png"]  # b.png missing in sequence 2
+    root = _write_tree(str(tmp_path), "P0", SEQS4, slices,
+                       ["a.png", "b.png"])
+    idx = DatasetIndex(root, "train", SEQS4)
+    assert len(idx) == 1
+    assert idx[0].image_paths[0].endswith("a.png")
+
+
+def test_audit_zero_byte_image_pil_path(tmp_path):
+    """A 0-byte image file passes the filename-only scan (as in the
+    reference) and surfaces a clear decode error from the loader."""
+    import os
+    from stf_unet_tpu.data import DatasetIndex
+    from stf_unet_tpu.data.loader import HostLoader
+    root = _write_tree(str(tmp_path), "P0", SEQS4,
+                       {s: ["s0.png"] for s in SEQS4}, ["s0.png"])
+    bad = os.path.join(root, "seg", "training", "images", "P0", SEQS4[2],
+                       "s0.png")
+    open(bad, "wb").close()  # truncate to 0 bytes
+    idx = DatasetIndex(root, "train", SEQS4)
+    assert len(idx) == 1  # scan is filename-only, like the reference
+    loader = HostLoader(idx, batch_size=1, shuffle=False, use_native=False,
+                        prefetch=2)
+    with pytest.raises(RuntimeError, match="prefetch"):
+        list(loader.epoch(0))
+
+
+def test_audit_zero_byte_image_native_isolation(tmp_path):
+    """The native decoder isolates failures: a 0-byte frame yields a
+    zero-size entry and fill pixels instead of crashing the batch."""
+    import os
+    from stf_unet_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    from PIL import Image
+    good = str(tmp_path / "good.png")
+    Image.fromarray(np.full((8, 8), 7, np.uint8)).save(good)
+    bad = str(tmp_path / "bad.png")
+    open(bad, "wb").close()
+    canvas, sizes = native_loader.decode_batch([good, bad], 8, 8, fill=0)
+    assert tuple(sizes[0]) == (8, 8)
+    assert tuple(sizes[1]) == (0, 0)
+    assert (canvas[0] == 7).all()
+    assert (canvas[1] == 0).all()
+
+
+def test_audit_zero_byte_mask_native_ignored(tmp_path):
+    """A 0-byte mask on the native path leaves the sample's mask all-255
+    (ignore label) — the sample contributes nothing to loss/metrics rather
+    than poisoning them."""
+    import os
+    from stf_unet_tpu.data import DatasetIndex, native_loader
+    from stf_unet_tpu.data.loader import HostLoader
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    root = _write_tree(str(tmp_path), "P0", SEQS4,
+                       {s: ["s0.png"] for s in SEQS4}, ["s0.png"])
+    bad = os.path.join(root, "seg", "training", "labels", "P0", SEQS4[0],
+                       "s0.png")
+    open(bad, "wb").close()
+    idx = DatasetIndex(root, "train", SEQS4)
+    loader = HostLoader(idx, batch_size=1, shuffle=False, use_native=True)
+    batch = next(loader.epoch(0))
+    assert (batch.masks == 255).all()

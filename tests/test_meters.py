@@ -60,3 +60,30 @@ def test_jsonl_logger(tmp_path):
 
 def test_jsonl_logger_disabled():
     JsonlLogger(None).log({"a": 1})  # no-op, no crash
+
+
+def test_device_peak_memory_mb_none_or_float():
+    from stf_unet_tpu.metrics.meters import device_peak_memory_mb
+    mem = device_peak_memory_mb()
+    assert mem is None or (isinstance(mem, float) and mem >= 0.0)
+
+
+def test_log_every_prints_max_mem(monkeypatch, capsys):
+    """Reference parity: 'max mem' appears in the step line when the device
+    reports memory stats (ref:train_and_eval.py:250-285)."""
+    from stf_unet_tpu.metrics import meters
+    monkeypatch.setattr(meters, "device_peak_memory_mb", lambda: 123.4)
+    logger = meters.MetricLogger()
+    for _ in logger.log_every(range(3), print_freq=1, header="Test:"):
+        logger.update(loss=1.0)
+    out = capsys.readouterr().out
+    assert "max mem: 123" in out
+
+
+def test_log_every_omits_max_mem_when_unavailable(monkeypatch, capsys):
+    from stf_unet_tpu.metrics import meters
+    monkeypatch.setattr(meters, "device_peak_memory_mb", lambda: None)
+    logger = meters.MetricLogger()
+    for _ in logger.log_every(range(2), print_freq=1):
+        pass
+    assert "max mem" not in capsys.readouterr().out
