@@ -72,7 +72,17 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a host pytree onto every device of `mesh`.
+
+    Multi-host: device_put cannot target non-addressable devices, so the
+    globally-replicated array is assembled from each process's (identical)
+    local copy — every process must hold the same value, which holds for
+    deterministic seeded init and restored checkpoints."""
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

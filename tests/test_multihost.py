@@ -1,0 +1,182 @@
+"""REAL 2-process multi-host coverage (VERDICT r1 next-step 3): two
+subprocesses jax.distributed.initialize on localhost (CPU platform, 2
+virtual devices each), run fused train steps through mesh.shard_batch's
+make_array_from_process_local_data branch with host-sharded loaders, and
+the losses must match a single-process 4-device run over the same global
+batches — the all-reduce semantics the reference only gestures at
+(ref:train_and_eval.py:51-57)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+SEQS = ("VIBRANT+C1", "VIBRANT+C2")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+root, port, pid, outfile = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+
+from stf_unet_tpu.core.distributed import host_info, initialize
+assert initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+import jax.numpy as jnp
+from stf_unet_tpu.core import mesh as mesh_lib
+from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+from stf_unet_tpu.core.prng import augment_key
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.data.loader import HostLoader
+from stf_unet_tpu.data.transforms import TrainAugment
+from stf_unet_tpu.models.registry import create_model
+from stf_unet_tpu.train.loop import make_train_step
+from stf_unet_tpu.train.schedule import warmup_poly_schedule
+from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+SEQS = ("VIBRANT+C1", "VIBRANT+C2")
+data_cfg = DataConfig(data_path=root, base_size=24, crop_size=16)
+index = DatasetIndex(root, "train", SEQS)
+hi, hc = host_info()
+loader = HostLoader(index, batch_size=2, shuffle=True, seed=0, prefetch=0,
+                    use_native=False, host_index=hi, num_hosts=hc)
+
+mesh = mesh_lib.create_mesh(0)  # spans all 4 global devices
+mc = ModelConfig(model="unet", num_classes=1, time_steps=2, base_c=4)
+model = create_model(mc)
+schedule = warmup_poly_schedule(1e-3, 4, 2)
+optim = make_optimizer(OptimConfig(), schedule)
+augment = TrainAugment(data_cfg)
+
+x0 = jnp.zeros((4, 2, 16, 16, 1), jnp.float32)
+state = create_train_state(jax.random.key(0), mc, optim, x0)
+state = mesh_lib.replicate(mesh, state)
+step_fn = make_train_step(model, optim, schedule, 2, augment=augment)
+
+losses = []
+root_key = jax.random.key(42)
+for s, batch in enumerate(loader.epoch(0)):
+    if s >= 2:
+        break
+    frames, masks, sizes = mesh_lib.shard_batch(
+        mesh, (batch.frames, batch.masks, batch.sizes))
+    state, loss, lr = step_fn(state, augment_key(root_key, 0, s),
+                              frames, masks, sizes, None)
+    losses.append(float(loss))
+
+if jax.process_index() == 0:
+    json.dump(losses, open(outfile, "w"))
+print(f"child {pid} ok: {losses}")
+"""
+
+
+@pytest.fixture(scope="module")
+def mh_root(tmp_path_factory):
+    """8 same-size slices so host-sharded loaders stay in lockstep."""
+    root = str(tmp_path_factory.mktemp("mh"))
+    rng = np.random.default_rng(1)
+    base = os.path.join(root, "seg", "training")
+    for k in range(8):
+        patient = f"P{k:03d}"
+        for seq in SEQS:
+            d = os.path.join(base, "images", patient, seq)
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(rng.integers(0, 255, (24, 24), dtype=np.uint8)
+                            ).save(os.path.join(d, "s0.png"))
+        md = os.path.join(base, "labels", patient, SEQS[0])
+        os.makedirs(md, exist_ok=True)
+        m = np.zeros((24, 24), np.uint8)
+        m[6:14, 6:14] = 255
+        Image.fromarray(m).save(os.path.join(md, "s0.png"))
+    return root
+
+
+def _single_process_reference(mh_root, n_steps=2):
+    """Same global batches on a single-process 4-device mesh: the global
+    array device order is [proc0 shard, proc1 shard], i.e. the concat of
+    the two host-views of the seeded permutation."""
+    import jax
+    import jax.numpy as jnp
+    from stf_unet_tpu.core import mesh as mesh_lib
+    from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+    from stf_unet_tpu.core.prng import augment_key
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.loader import HostLoader
+    from stf_unet_tpu.data.transforms import TrainAugment
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    data_cfg = DataConfig(data_path=mh_root, base_size=24, crop_size=16)
+    index = DatasetIndex(mh_root, "train", SEQS)
+    loaders = [HostLoader(index, batch_size=2, shuffle=True, seed=0,
+                          prefetch=0, use_native=False, host_index=i,
+                          num_hosts=2) for i in range(2)]
+    mesh = mesh_lib.create_mesh(4)
+    mc = ModelConfig(model="unet", num_classes=1, time_steps=2, base_c=4)
+    model = create_model(mc)
+    schedule = warmup_poly_schedule(1e-3, 4, 2)
+    optim = make_optimizer(OptimConfig(), schedule)
+    augment = TrainAugment(data_cfg)
+    x0 = jnp.zeros((4, 2, 16, 16, 1), jnp.float32)
+    state = create_train_state(jax.random.key(0), mc, optim, x0)
+    state = mesh_lib.replicate(mesh, state)
+    step_fn = make_train_step(model, optim, schedule, 2, augment=augment)
+
+    losses = []
+    root_key = jax.random.key(42)
+    for s, (b0, b1) in enumerate(zip(loaders[0].epoch(0),
+                                     loaders[1].epoch(0))):
+        if s >= n_steps:
+            break
+        frames = np.concatenate([b0.frames, b1.frames])
+        masks = np.concatenate([b0.masks, b1.masks])
+        sizes = np.concatenate([b0.sizes, b1.sizes])
+        frames, masks, sizes = mesh_lib.shard_batch(mesh,
+                                                    (frames, masks, sizes))
+        state, loss, lr = step_fn(state, augment_key(root_key, 0, s),
+                                  frames, masks, sizes, None)
+        losses.append(float(loss))
+    return losses
+
+
+def test_two_process_training_matches_single_process(mh_root, tmp_path):
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    script = str(tmp_path / "child.py")
+    open(script, "w").write(CHILD)
+    outfile = str(tmp_path / "losses.json")
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, script, mh_root, str(port), str(i), outfile],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{out}"
+
+    multi = json.load(open(outfile))
+    assert len(multi) == 2 and all(np.isfinite(multi))
+
+    single = _single_process_reference(mh_root)
+    # identical global batches + identical 4-way GSPMD partitioning -> the
+    # losses agree to f32 noise; and step 2's loss depends on step 1's
+    # gradient all-reduce, so agreement proves the update path too
+    np.testing.assert_allclose(multi, single, rtol=0, atol=1e-5)
