@@ -1,14 +1,17 @@
 """Benchmark: DCE-MRI slices/sec/chip, ours (TPU) vs reference (PyTorch CPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Headline config = BASELINE.md config 2: 2-D UNet, batch 16, 224x224, 8
 temporal frames as stacked channels, dice+CE loss, AdamW train step. The
-reference baseline is the SAME workload run through the reference's own
-torch model (/root/reference/src/unet.py) on CPU, measured once and cached
-in bench_baseline.json (the reference's STF-LSTM-UNet cannot run at all:
-its decoder stops at half resolution and torchvision is unavailable —
-see SURVEY.md §7).
+headline value stays the f32 number (dtype-parity with the reference, whose
+AMP is opt-in, ref:train.py:112-113) so rounds compare like-for-like; the
+bf16 production number plus achieved TFLOP/s / MFU for both dtypes ride as
+extra keys. The reference baseline is the SAME workload run through the
+reference's own torch model (/root/reference/src/unet.py) on CPU, measured
+once and cached in bench_baseline.json (the reference's STF-LSTM-UNet
+cannot run at all: its decoder stops at half resolution and torchvision is
+unavailable — see SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -27,9 +30,10 @@ CROP = 224
 T_FRAMES = 8
 WARMUP = 3
 ITERS = 20
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e MXU peak (bf16)
 
 
-def measure_ours() -> float:
+def measure_ours(amp: bool) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,8 +44,11 @@ def measure_ours() -> float:
     from stf_unet_tpu.train.schedule import warmup_poly_schedule
     from stf_unet_tpu.train.state import create_train_state, make_optimizer
 
+    from stf_unet_tpu.core.dtypes import make_policy
     model_cfg = ModelConfig(model="unet", num_classes=1, time_steps=T_FRAMES)
-    model = create_model(model_cfg)
+    policy = make_policy(amp)
+    model = create_model(model_cfg,
+                         dtype=policy.compute_dtype if amp else None)
     schedule = warmup_poly_schedule(1e-3, 100, 100)
     optim = make_optimizer(OptimConfig(), schedule)
 
@@ -51,6 +58,17 @@ def measure_ours() -> float:
     y = jnp.asarray(rng.integers(0, 2, (BATCH, CROP, CROP)), jnp.int32)
     state = create_train_state(jax.random.key(0), model_cfg, optim, x)
     step = make_train_step(model, optim, schedule, model_cfg.total_classes)
+
+    # XLA's own FLOP count for the whole compiled step (donated args make
+    # re-lowering awkward, so count on a fresh lowering).
+    flops = 0.0
+    try:
+        analysis = step.lower(state, x, y).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+    except Exception:
+        pass
 
     for _ in range(WARMUP):
         state, loss, _ = step(state, x, y)
@@ -62,7 +80,14 @@ def measure_ours() -> float:
         state, loss, _ = step(state, x, y)
     float(loss)
     dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    step_s = dt / ITERS
+    tflops = flops / step_s / 1e12 if flops else None
+    return {
+        "slices_per_sec": BATCH * ITERS / dt,
+        "ms_per_step": step_s * 1000.0,
+        "tflops": tflops,
+        "mfu_pct": (100.0 * tflops / PEAK_BF16_TFLOPS) if tflops else None,
+    }
 
 
 def measure_reference_cpu() -> float:
@@ -119,7 +144,8 @@ def measure_reference_cpu() -> float:
 
 
 def main() -> None:
-    ours = measure_ours()
+    f32 = measure_ours(amp=False)
+    bf16 = measure_ours(amp=True)
 
     baseline = None
     if os.path.exists(CACHE):
@@ -136,11 +162,21 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"baseline measurement failed: {e}", file=sys.stderr)
 
+    ours = f32["slices_per_sec"]
+    rnd = lambda v, k=2: round(v, k) if v is not None else None
     print(json.dumps({
         "metric": "unet_train_slices_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "slices/sec",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        "bf16_value": rnd(bf16["slices_per_sec"]),
+        "bf16_vs_baseline": (round(bf16["slices_per_sec"] / baseline, 2)
+                             if baseline else None),
+        "f32_tflops": rnd(f32["tflops"], 1),
+        "bf16_tflops": rnd(bf16["tflops"], 1),
+        "f32_ms_per_step": rnd(f32["ms_per_step"], 1),
+        "bf16_ms_per_step": rnd(bf16["ms_per_step"], 1),
+        "bf16_mfu_pct": rnd(bf16["mfu_pct"], 1),
     }))
 
 

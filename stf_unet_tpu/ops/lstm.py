@@ -76,28 +76,33 @@ def pixel_lstm(feat_seq: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
     feat_seq: [B, T, H, W, C] (NHWC per frame) -> [B, H, W, C]: last LSTM
     step per pixel (ref:src/stf_lstm_unet.py:216-242).
 
-    backend: 'auto' (measured best per mode: scan for training, last-only
-    Pallas kernel for TPU inference), 'scan', 'pallas' (full-sequence kernel
-    with custom VJP), 'pallas_last' (inference-only), or
-    'pallas_interpret' / 'pallas_last_interpret' (CPU-testable emulation).
+    backend: 'auto' (measured best per mode; see lstm_backend_default),
+    'scan', 'pallas_fused' (fully-fused fwd+bwd last-step kernel, in-kernel
+    input projection — ops/pallas/lstm_train_kernel.py), 'pallas_last'
+    (inference-only fallback), or either with an '_interpret' suffix
+    (CPU-testable emulation).
     """
     bsz, t, h, w, c = feat_seq.shape
     lanes = feat_seq.transpose(1, 0, 2, 3, 4).reshape(t, bsz * h * w, c)
     if backend == "auto":
         from stf_unet_tpu.ops.pallas.lstm_kernel import lstm_backend_default
-        backend = lstm_backend_default(train)
-    if backend.startswith("pallas"):
-        from stf_unet_tpu.ops.pallas.lstm_kernel import (fused_lstm_last,
-                                                         fused_lstm_sequence)
+        backend = lstm_backend_default(train, n=bsz * h * w, cdim=c,
+                                       t_steps=t,
+                                       itemsize=feat_seq.dtype.itemsize)
+    if backend.startswith("pallas_fused"):
+        from stf_unet_tpu.ops.pallas.lstm_train_kernel import fused_lstm_last_x
+        bias = b if b is not None else jnp.zeros((4 * c,), lanes.dtype)
+        out = fused_lstm_last_x(lanes, w_ih, w_hh, bias,
+                                backend.endswith("_interpret"))
+    elif backend.startswith("pallas_last"):
+        from stf_unet_tpu.ops.pallas.lstm_kernel import fused_lstm_last
         x_proj = jnp.einsum("tnc,cd->tnd", lanes, w_ih,
                             preferred_element_type=lanes.dtype)
         bias = b if b is not None else jnp.zeros((4 * c,), lanes.dtype)
-        interpret = backend.endswith("_interpret")
-        if backend.startswith("pallas_last"):
-            out = fused_lstm_last(x_proj, w_hh, bias, interpret=interpret)
-        else:
-            out = fused_lstm_sequence(x_proj, w_hh, bias,
-                                      interpret=interpret)[-1]
-    else:
+        out = fused_lstm_last(x_proj, w_hh, bias,
+                              interpret=backend.endswith("_interpret"))
+    elif backend == "scan":
         out = lstm_scan(lanes, w_ih, w_hh, b)
+    else:
+        raise ValueError(f"Unknown LSTM backend: {backend}")
     return out.reshape(bsz, h, w, c)

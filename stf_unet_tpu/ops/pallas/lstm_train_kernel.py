@@ -1,0 +1,288 @@
+"""Pallas TPU kernel: fully-fused last-step pixel-LSTM, forward AND backward.
+
+Profiling (tools/profile_components.py, r2) showed the per-scale pixel
+LSTMs — not the convs — dominate the flagship train step: ~23 ms of a
+~57 ms bf16 step at 3–13 TF/s, because XLA's scan formulation materializes
+the [T, N, 4C] input projection plus per-step h/c/gate residuals in HBM.
+The model consumes ONLY the last step h_T (ref:src/stf_lstm_unet.py:239-242),
+so almost all of that traffic is avoidable:
+
+  * Forward (grid (row_tiles, T)): per (tile, t) load one [tile, C] x-block,
+    compute gates = x@W_ih + h@W_hh + b on the MXU with (h, c) carried in
+    VMEM scratch, write NOTHING but the final [tile, C] h_T block. No x_proj
+    tensor, no h/c sequences.
+  * Backward (grid (row_tiles, 2T)): phase 1 (s < T) recomputes the
+    recurrence, storing h_t/c_t for the tile in VMEM scratch; phase 2
+    (s >= T, t = 2T-1-s) walks t backwards, recomputing gates from the
+    scratch states, producing dx blocks and accumulating dW_ih/dW_hh/db
+    in-kernel (f32, constant-index output blocks that live in VMEM for the
+    whole grid). HBM traffic: x read twice, dx written once, dh_T read —
+    ~6x less than the scan's residual traffic at C=64.
+
+Gate order matches torch.nn.LSTM: [i, f, g, o] (import parity).
+Backward math mirrors ops/pallas/lstm_kernel._bwd (the XLA oracle used by
+tests/test_pallas_lstm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET = 13 * 1024 * 1024  # leave headroom under the ~16MB/core VMEM
+
+
+def _plan(t_steps: int, n: int, cdim: int, itemsize: int):
+    """Pick a row tile so the backward working set fits VMEM; None if the
+    kernel cannot fit (then callers fall back to the XLA scan)."""
+    weights = 2 * cdim * 4 * cdim * itemsize          # W_ih + W_hh blocks
+    accums = 2 * cdim * 4 * cdim * 4 + 4 * cdim * 4   # f32 dW blocks + db
+    fixed = weights + accums
+    tile = 512
+    while tile >= 64:
+        tile_eff = min(tile, max(64, n))
+        hc = 2 * t_steps * tile_eff * cdim * 4                  # h/c scratch
+        xbuf = 2 * (2 * tile_eff * cdim * itemsize)             # x + dx, 2-buf
+        carry = 2 * tile_eff * cdim * 4 + tile_eff * cdim * itemsize
+        gates = 3 * tile_eff * 4 * cdim * 4                     # gate temps
+        if fixed + hc + xbuf + carry + gates <= VMEM_BUDGET:
+            return tile_eff
+        tile //= 2
+    return None
+
+
+def _gate_split(gates, cdim):
+    i = jax.nn.sigmoid(gates[:, :cdim])
+    f = jax.nn.sigmoid(gates[:, cdim:2 * cdim])
+    g = jnp.tanh(gates[:, 2 * cdim:3 * cdim])
+    o = jax.nn.sigmoid(gates[:, 3 * cdim:])
+    return i, f, g, o
+
+
+def _make_fwd_kernel(cdim):
+    def kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, h_out_ref, h_s, c_s):
+        t = pl.program_id(1)
+        t_total = pl.num_programs(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_s[:] = jnp.zeros_like(h_s)
+            c_s[:] = jnp.zeros_like(c_s)
+
+        f32 = jnp.float32
+        gates = (jnp.dot(x_ref[0], w_ih_ref[:], preferred_element_type=f32)
+                 + jnp.dot(h_s[:].astype(x_ref.dtype), w_hh_ref[:],
+                           preferred_element_type=f32)
+                 + b_ref[0].astype(f32))
+        i, f, g, o = _gate_split(gates, cdim)
+        c_new = f * c_s[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_s[:] = h_new
+        c_s[:] = c_new
+
+        @pl.when(t == t_total - 1)
+        def _():
+            h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+
+    return kernel
+
+
+def _fwd_call(x, w_ih, w_hh, b, interpret):
+    t_steps, n, cdim = x.shape
+    tile = _plan(t_steps, n, cdim, x.dtype.itemsize)
+    grid = (pl.cdiv(n, tile), t_steps)
+    return pl.pallas_call(
+        _make_fwd_kernel(cdim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, cdim), lambda nb, t: (t, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cdim), lambda nb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cdim), lambda nb, t: (nb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, cdim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, cdim), jnp.float32),
+            pltpu.VMEM((tile, cdim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_ih, w_hh, b.reshape(1, 4 * cdim))
+
+
+def _make_bwd_kernel(cdim, t_steps, tile, n):
+    def kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, dh_ref,
+               dx_ref, dwi_ref, dwh_ref, db_ref,
+               h_seq, c_seq, dh_s, dc_s):
+        nb = pl.program_id(0)
+        s = pl.program_id(1)
+        f32 = jnp.float32
+
+        @pl.when((nb == 0) & (s == 0))
+        def _():
+            dwi_ref[:] = jnp.zeros_like(dwi_ref)
+            dwh_ref[:] = jnp.zeros_like(dwh_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+
+        row = nb * tile + lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        mask = row < n  # zero padded rows out of the weight-grad reductions
+
+        def load_prev(t):
+            idx = jnp.maximum(t - 1, 0)
+            h_prev = jnp.where(t > 0, h_seq[pl.ds(idx, 1)][0],
+                               jnp.zeros_like(dh_s))
+            c_prev = jnp.where(t > 0, c_seq[pl.ds(idx, 1)][0],
+                               jnp.zeros_like(dc_s))
+            return h_prev, c_prev
+
+        def gates_at(x_blk, h_prev):
+            return (jnp.dot(x_blk, w_ih_ref[:], preferred_element_type=f32)
+                    + jnp.dot(h_prev.astype(x_blk.dtype), w_hh_ref[:],
+                              preferred_element_type=f32)
+                    + b_ref[0].astype(f32))
+
+        @pl.when(s < t_steps)
+        def _forward_phase():
+            t = s
+            h_prev, c_prev = load_prev(t)
+            i, f, g, o = _gate_split(gates_at(x_ref[0], h_prev), cdim)
+            c_new = f * c_prev + i * g
+            h_seq[pl.ds(t, 1)] = (o * jnp.tanh(c_new))[None]
+            c_seq[pl.ds(t, 1)] = c_new[None]
+
+        @pl.when(s >= t_steps)
+        def _backward_phase():
+            t = 2 * t_steps - 1 - s
+
+            @pl.when(s == t_steps)
+            def _():
+                dh_s[:] = jnp.where(mask, dh_ref[:].astype(f32), 0.0)
+                dc_s[:] = jnp.zeros_like(dc_s)
+
+            h_prev, c_prev = load_prev(t)
+            c_t = c_seq[pl.ds(t, 1)][0]
+            i, f, g, o = _gate_split(gates_at(x_ref[0], h_prev), cdim)
+            tanh_c = jnp.tanh(c_t)
+
+            dh = dh_s[:]
+            do = dh * tanh_c
+            dc = dc_s[:] + dh * o * (1.0 - tanh_c ** 2)
+            dgates = jnp.concatenate([
+                dc * g * i * (1.0 - i),
+                dc * c_prev * f * (1.0 - f),
+                dc * i * (1.0 - g ** 2),
+                do * o * (1.0 - o)], axis=-1)
+            dgates = jnp.where(mask, dgates, 0.0)
+
+            # dh_prev = dgates @ W_hh^T ; dx = dgates @ W_ih^T
+            dh_s[:] = lax.dot_general(
+                dgates, w_hh_ref[:].astype(f32),
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            dc_s[:] = jnp.where(mask, dc * f, 0.0)
+            dx_ref[0] = lax.dot_general(
+                dgates, w_ih_ref[:].astype(f32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32).astype(dx_ref.dtype)
+
+            x_m = jnp.where(mask, x_ref[0].astype(f32), 0.0)
+            h_m = jnp.where(mask, h_prev, 0.0)
+            dwi_ref[:] += lax.dot_general(
+                x_m, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dwh_ref[:] += lax.dot_general(
+                h_m, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            db_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
+
+    return kernel
+
+
+def _bwd_call(x, w_ih, w_hh, b, dh, interpret):
+    t_steps, n, cdim = x.shape
+    tile = _plan(t_steps, n, cdim, x.dtype.itemsize)
+    grid = (pl.cdiv(n, tile), 2 * t_steps)
+
+    def x_index(nb, s):
+        return (jnp.where(s < t_steps, s, 2 * t_steps - 1 - s), nb, 0)
+
+    def dx_index(nb, s):
+        return (jnp.where(s < t_steps, t_steps - 1, 2 * t_steps - 1 - s),
+                nb, 0)
+
+    dx, dwi, dwh, db = pl.pallas_call(
+        _make_bwd_kernel(cdim, t_steps, tile, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, cdim), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cdim), lambda nb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cdim), lambda nb, s: (nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, cdim), dx_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cdim), lambda nb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_steps, n, cdim), x.dtype),
+            jax.ShapeDtypeStruct((cdim, 4 * cdim), jnp.float32),
+            jax.ShapeDtypeStruct((cdim, 4 * cdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * cdim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_steps, tile, cdim), jnp.float32),
+            pltpu.VMEM((t_steps, tile, cdim), jnp.float32),
+            pltpu.VMEM((tile, cdim), jnp.float32),
+            pltpu.VMEM((tile, cdim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_ih, w_hh, b.reshape(1, 4 * cdim), dh)
+    return dx, dwi, dwh, db
+
+
+def lstm_fused_supported(t_steps: int, n: int, cdim: int,
+                         itemsize: int) -> bool:
+    return _plan(t_steps, n, cdim, itemsize) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_lstm_last_x(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
+                      b: jax.Array, interpret: bool = False) -> jax.Array:
+    """x [T, N, C] (RAW inputs — the input projection happens in-kernel),
+    w_ih/w_hh [C, 4C], b [4C] -> h_T [N, C]. Differentiable: the backward
+    is the fused recompute kernel above."""
+    return _fwd_call(x, w_ih, w_hh, b, interpret)
+
+
+def _vjp_fwd(x, w_ih, w_hh, b, interpret):
+    return _fwd_call(x, w_ih, w_hh, b, interpret), (x, w_ih, w_hh, b)
+
+
+def _vjp_bwd(interpret, residuals, dh):
+    x, w_ih, w_hh, b = residuals
+    dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+    return (dx, dwi.astype(w_ih.dtype), dwh.astype(w_hh.dtype),
+            db.reshape(-1).astype(b.dtype))
+
+
+fused_lstm_last_x.defvjp(_vjp_fwd, _vjp_bwd)

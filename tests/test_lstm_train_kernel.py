@@ -1,0 +1,100 @@
+"""Fused last-step LSTM training kernel (ops/pallas/lstm_train_kernel.py):
+forward and gradient parity vs the XLA scan oracle, in Pallas interpret
+mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stf_unet_tpu.ops.lstm import lstm_scan
+from stf_unet_tpu.ops.pallas.lstm_train_kernel import (fused_lstm_last_x,
+                                                       lstm_fused_supported)
+
+
+def _params(c, key=0):
+    rng = np.random.default_rng(key)
+    k = 1.0 / np.sqrt(c)
+    w_ih = jnp.asarray(rng.uniform(-k, k, (c, 4 * c)), jnp.float32)
+    w_hh = jnp.asarray(rng.uniform(-k, k, (c, 4 * c)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-k, k, (4 * c,)), jnp.float32)
+    return w_ih, w_hh, b
+
+
+@pytest.mark.parametrize("t_steps,n,c", [(8, 96, 64), (4, 200, 128),
+                                         (3, 64, 256)])
+def test_forward_matches_scan(t_steps, n, c):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(t_steps, n, c)), jnp.float32)
+    w_ih, w_hh, b = _params(c)
+    want = lstm_scan(x, w_ih, w_hh, b)
+    got = fused_lstm_last_x(x, w_ih, w_hh, b, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t_steps,n,c", [(8, 96, 64), (4, 200, 128)])
+def test_gradients_match_scan_autodiff(t_steps, n, c):
+    """dx, dW_ih, dW_hh, db vs jax.grad through the scan — including a
+    non-tile-multiple N so padded-row masking is exercised."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(t_steps, n, c)), jnp.float32)
+    w_ih, w_hh, b = _params(c)
+    cot = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+
+    def loss_scan(x, w_ih, w_hh, b):
+        return jnp.sum(lstm_scan(x, w_ih, w_hh, b) * cot)
+
+    def loss_fused(x, w_ih, w_hh, b):
+        return jnp.sum(fused_lstm_last_x(x, w_ih, w_hh, b, True) * cot)
+
+    want = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(x, w_ih, w_hh, b)
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w_ih, w_hh, b)
+    for name, w, g in zip(("dx", "dw_ih", "dw_hh", "db"), want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
+
+
+def test_bf16_runs_and_tracks_f32():
+    t_steps, n, c = 4, 128, 64
+    rng = np.random.default_rng(3)
+    x32 = jnp.asarray(rng.normal(size=(t_steps, n, c)), jnp.float32)
+    w_ih, w_hh, b = _params(c)
+    ref = fused_lstm_last_x(x32, w_ih, w_hh, b, True)
+    out = fused_lstm_last_x(x32.astype(jnp.bfloat16),
+                            w_ih.astype(jnp.bfloat16),
+                            w_hh.astype(jnp.bfloat16),
+                            b.astype(jnp.bfloat16), True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=0.05)
+
+
+def test_supported_plan():
+    assert lstm_fused_supported(8, 50176, 64, 2)
+    assert lstm_fused_supported(8, 12544, 128, 2)
+    assert lstm_fused_supported(8, 3136, 256, 2)
+    # C=512 f32 cannot fit weight+accumulator blocks in VMEM
+    assert not lstm_fused_supported(8, 784, 512, 4)
+
+
+def test_pixel_lstm_fused_backend_matches_scan():
+    from stf_unet_tpu.ops.lstm import pixel_lstm
+    rng = np.random.default_rng(4)
+    feat = jnp.asarray(rng.normal(size=(2, 4, 6, 6, 64)), jnp.float32)
+    w_ih, w_hh, b = _params(64)
+    want = pixel_lstm(feat, w_ih, w_hh, b, backend="scan")
+    got = pixel_lstm(feat, w_ih, w_hh, b, backend="pallas_fused_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(fn_backend):
+        def f(feat):
+            return jnp.sum(pixel_lstm(feat, w_ih, w_hh, b,
+                                      backend=fn_backend) ** 2)
+        return jax.grad(f)(feat)
+
+    np.testing.assert_allclose(np.asarray(loss("pallas_fused_interpret")),
+                               np.asarray(loss("scan")),
+                               atol=3e-4, rtol=3e-4)

@@ -48,7 +48,7 @@ def main() -> None:
 
     results = {}
     for amp in (False, True):
-        for lstm_backend in ("scan", "pallas"):
+        for lstm_backend in ("scan", "auto"):
             for remat in (False, True):
                 tag = (f"{'bf16' if amp else 'f32'}"
                        f"/{lstm_backend}/{'remat' if remat else 'noremat'}")
