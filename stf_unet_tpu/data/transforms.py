@@ -35,6 +35,24 @@ from stf_unet_tpu.core.config import DataConfig
 from stf_unet_tpu.ops.resize import pil_resize_weights, short_edge_size
 
 
+@functools.lru_cache(maxsize=64)
+def _banded_resize_taps(in_size: int, out_size: int):
+    """PIL's resize matrix (ops/resize.pil_resize_weights) is banded: each
+    output row draws from a short contiguous run of input rows. Return
+    (idx [out, K], wgt [out, K]) so the resample is a gather + K-tap
+    weighted sum instead of a dense [out, in] matmul."""
+    wm = pil_resize_weights(in_size, out_size)
+    nz = wm != 0.0
+    k = max(1, int(nz.sum(axis=1).max()))
+    idx = np.zeros((out_size, k), np.intp)
+    wgt = np.zeros((out_size, k), np.float64)
+    for o in range(out_size):
+        cols = np.nonzero(nz[o])[0]
+        idx[o, :len(cols)] = cols
+        wgt[o, :len(cols)] = wm[o, cols]
+    return idx, wgt
+
+
 def normalize(img: jax.Array, mean: float, std: float) -> jax.Array:
     """uint8/float [0,255] -> normalized float32 (ToTensor + Normalize,
     ref:transforms.py:120-134)."""
@@ -262,13 +280,18 @@ def eval_preprocess(frames: np.ndarray, mask: np.ndarray, cfg: DataConfig,
     """
     t, h, w = frames.shape
     out_h, out_w = short_edge_size(h, w, cfg.crop_size)
-    wh = pil_resize_weights(h, out_h)
-    ww = pil_resize_weights(w, out_w)
+    idx_h, wgt_h = _banded_resize_taps(h, out_h)
+    idx_w, wgt_w = _banded_resize_taps(w, out_w)
 
     def pil_resize_u8(x):
-        # PIL resizes uint8 with rounding; replicate (ref resizes PIL images).
-        y = np.einsum("oh,thw->tow", wh, x.astype(np.float64))
-        y = np.einsum("pw,tow->top", ww, y)
+        # PIL resizes uint8 with rounding; replicate (ref resizes PIL
+        # images). The PIL filter has only a handful of taps per output
+        # row, so apply it as a banded gather+weighted-sum: the dense
+        # einsum formulation dominated eval wall time on the 1-core host
+        # (~0.4 s per 8-frame 256² sample, measured r2).
+        xf = x.astype(np.float64)
+        y = np.einsum("tokw,ok->tow", xf[:, idx_h, :], wgt_h)
+        y = np.einsum("topk,pk->top", y[:, :, idx_w], wgt_w)
         return np.clip(np.round(y), 0, 255).astype(np.uint8)
 
     frames_r = pil_resize_u8(frames)
