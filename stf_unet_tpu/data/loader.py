@@ -95,6 +95,48 @@ def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False
     return frames, mask, pk
 
 
+def load_sample_raw_native(rec: SampleRecord, use_pk_maps: bool = False
+                           ) -> Tuple[np.ndarray, np.ndarray,
+                                      Optional[np.ndarray]]:
+    """load_sample_raw via the native C++ decoder (same contract). Decodes
+    all frames + mask in one threaded call at the probed native size;
+    falls back to the PIL path when the library is unavailable or any
+    entry fails to decode (eval must not silently zero a sample)."""
+    from stf_unet_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        return load_sample_raw(rec, use_pk_maps)
+    size = native_loader.image_size(rec.image_paths[0])
+    if size is None:
+        return load_sample_raw(rec, use_pk_maps)
+    h, w = size
+    paths = list(rec.image_paths) + [rec.mask_path]
+    canvas, sizes = native_loader.decode_batch(paths, h, w, fill=0)
+    if not all(tuple(sz) == (h, w) for sz in sizes):
+        return load_sample_raw(rec, use_pk_maps)  # mixed sizes / bad file
+    frames = canvas[:-1]
+    mask = (canvas[-1] // 255).astype(np.uint8)
+
+    pk = None
+    if use_pk_maps:
+        pk_paths = [f"{rec.pk_maps_path}/{n}.png" for n in PK_PARAM_NAMES]
+        pk_canvas, pk_sizes = native_loader.decode_batch(pk_paths, h, w,
+                                                         fill=0)
+        maps = []
+        for m, sz, path in zip(pk_canvas, pk_sizes, pk_paths):
+            if tuple(sz) == (h, w):
+                maps.append(m)
+                continue
+            try:  # PK maps at a different resolution: NEAREST-resize (PIL
+                arr = _decode_grayscale(path)  # parity, ref:my_dataset 214)
+                maps.append(np.asarray(
+                    Image.fromarray(arr).resize((w, h), Image.NEAREST)))
+            except Exception:
+                maps.append(np.zeros((h, w), np.uint8))
+        pk = np.stack(maps)
+    return frames, mask, pk
+
+
 @dataclass
 class Batch:
     """Raw uint8 host batch; device transforms consume it directly."""

@@ -205,11 +205,12 @@ def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
     (`prefetch` batches deep), overlapping host IO with device compute —
     the eval-side counterpart of HostLoader's producer thread.
     """
-    from stf_unet_tpu.data.loader import load_sample_raw, prefetch_iterator
+    from stf_unet_tpu.data.loader import (load_sample_raw_native,
+                                          prefetch_iterator)
 
     def sample_iter():
         for rec in index.records:
-            frames, mask, pk = load_sample_raw(rec, use_pk_maps)
+            frames, mask, pk = load_sample_raw_native(rec, use_pk_maps)
             yield eval_preprocess(frames, mask, cfg, pk)
 
     def batch_iter():

@@ -66,3 +66,50 @@ def test_hostloader_native_matches_pil(synthetic_root):
     np.testing.assert_array_equal(bn.frames, bp.frames)
     np.testing.assert_array_equal(bn.masks, bp.masks)
     np.testing.assert_array_equal(bn.sizes, bp.sizes)
+
+
+def test_load_sample_raw_native_matches_pil(tmp_path):
+    """Eval path decode: native must produce pixel-identical samples."""
+    import numpy as np
+    import pytest
+    from stf_unet_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.loader import load_sample_raw, load_sample_raw_native
+
+    root = make_synthetic_breadm(str(tmp_path), size=40, time_steps=4,
+                                 splits=("training",), patients_per_split=1,
+                                 slices_per_patient=2, with_pk_maps=True)
+    seqs = tuple(f"VIBRANT+C{i}" for i in range(1, 5))
+    idx = DatasetIndex(root, "train", seqs, use_pk_maps=True)
+    assert len(idx) == 2
+    for rec in idx.records:
+        f_p, m_p, pk_p = load_sample_raw(rec, use_pk_maps=True)
+        f_n, m_n, pk_n = load_sample_raw_native(rec, use_pk_maps=True)
+        np.testing.assert_array_equal(f_n, f_p)
+        np.testing.assert_array_equal(m_n, m_p)
+        np.testing.assert_array_equal(pk_n, pk_p)
+
+
+def test_load_sample_raw_native_fallback_on_bad_file(tmp_path):
+    """A 0-byte frame makes the native fast path fall back to PIL, which
+    surfaces a decode error instead of silently zero-filling eval data."""
+    import os
+    import pytest
+    from stf_unet_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.loader import load_sample_raw_native
+
+    root = make_synthetic_breadm(str(tmp_path), size=24, time_steps=2,
+                                 splits=("training",), patients_per_split=1,
+                                 slices_per_patient=1)
+    seqs = ("VIBRANT+C1", "VIBRANT+C2")
+    idx = DatasetIndex(root, "train", seqs)
+    open(idx[0].image_paths[1], "wb").close()
+    with pytest.raises(Exception):
+        load_sample_raw_native(idx[0])
