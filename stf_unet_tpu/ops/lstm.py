@@ -92,8 +92,12 @@ def pixel_lstm(feat_seq: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
     if backend.startswith("pallas_fused"):
         from stf_unet_tpu.ops.pallas.lstm_train_kernel import fused_lstm_last_x
         bias = b if b is not None else jnp.zeros((4 * c,), lanes.dtype)
+        # On a multi-device backend route through the custom_partitioning
+        # wrapper so GSPMD shards the row axis (and psums weight grads)
+        # instead of gathering operands onto every device.
         out = fused_lstm_last_x(lanes, w_ih, w_hh, bias,
-                                backend.endswith("_interpret"))
+                                backend.endswith("_interpret"),
+                                len(jax.devices()) > 1)
     elif backend.startswith("pallas_last"):
         from stf_unet_tpu.ops.pallas.lstm_kernel import fused_lstm_last
         x_proj = jnp.einsum("tnc,cd->tnd", lanes, w_ih,

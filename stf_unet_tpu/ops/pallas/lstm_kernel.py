@@ -119,13 +119,15 @@ def lstm_backend_default(train: bool = True, *, n: int = 0, cdim: int = 0,
     * inference: fused kernel when it fits (in-kernel input projection
       beats pallas_last + external einsum at every scale), else the
       last-only kernel.
-    Multi-device: scan — a pallas_call carries no GSPMD partitioning rules,
-    so under a sharded mesh XLA would all-gather its operands; the scan
-    formulation shards the row axis for free. (Future work: shard_map
-    wrapper for the fused kernel.) CPU/GPU: scan."""
-    if jax.default_backend() != "tpu" or len(jax.devices()) > 1:
+    Multi-device: the fused kernel rides a custom_partitioning wrapper
+    (lstm_train_kernel._partitioned_ops) that shards the row axis and
+    psums the weight grads, so routing is the same as single-device; the
+    N threshold then applies to the PER-DEVICE row count, approximated
+    here as n / device_count. CPU/GPU: scan."""
+    if jax.default_backend() != "tpu":
         return "scan"
     if n and cdim:
+        n = max(1, n // jax.device_count())
         from stf_unet_tpu.ops.pallas.lstm_train_kernel import (
             lstm_fused_supported)
         if lstm_fused_supported(t_steps, n, cdim, itemsize) and (

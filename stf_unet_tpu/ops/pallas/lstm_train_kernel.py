@@ -265,22 +265,126 @@ def lstm_fused_supported(t_steps: int, n: int, cdim: int,
     return _plan(t_steps, n, cdim, itemsize) is not None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+# ---------------------------------------------------------------------------
+# GSPMD support: under a sharded mesh a bare pallas_call would be gathered
+# onto every device. custom_partitioning declares the row (N) axis
+# shardable: each device runs the kernel on its local rows; the backward's
+# weight/bias grads are per-shard partials combined with a psum over the
+# row-sharding mesh axes. The plain (single-device) path below bypasses
+# this entirely.
+# ---------------------------------------------------------------------------
+
+def _row_axes(spec_entry):
+    """PartitionSpec entry -> tuple of mesh axis names (or ())."""
+    if spec_entry is None:
+        return ()
+    if isinstance(spec_entry, (tuple, list)):
+        return tuple(spec_entry)
+    return (spec_entry,)
+
+
+@functools.lru_cache(maxsize=4)
+def _partitioned_ops(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def fwd_op(x, w_ih, w_hh, b):
+        return _fwd_call(x, w_ih, w_hh, b, interpret)
+
+    def fwd_partition(mesh, arg_shapes, result_shape):
+        row = _row_axes(arg_shapes[0].sharding.spec[1]
+                        if len(arg_shapes[0].sharding.spec) > 1 else None)
+        row_spec = row if row else None
+
+        def lower_fn(x, w_ih, w_hh, b):
+            return _fwd_call(x, w_ih, w_hh, b, interpret)
+
+        arg_sh = (NamedSharding(mesh, P(None, row_spec, None)),
+                  NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                  NamedSharding(mesh, P()))
+        res_sh = NamedSharding(mesh, P(row_spec, None))
+        return mesh, lower_fn, res_sh, arg_sh
+
+    def fwd_infer(mesh, arg_shapes, result_shape):
+        row = _row_axes(arg_shapes[0].sharding.spec[1]
+                        if len(arg_shapes[0].sharding.spec) > 1 else None)
+        return NamedSharding(mesh, P(row if row else None, None))
+
+    fwd_op.def_partition(
+        partition=fwd_partition,
+        infer_sharding_from_operands=fwd_infer,
+        sharding_rule="t n c, c d, c d, d -> n c")
+
+    @custom_partitioning
+    def bwd_op(x, w_ih, w_hh, b, dh):
+        dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+        return dx, dwi, dwh, db
+
+    def bwd_partition(mesh, arg_shapes, result_shape):
+        row = _row_axes(arg_shapes[0].sharding.spec[1]
+                        if len(arg_shapes[0].sharding.spec) > 1 else None)
+        row_spec = row if row else None
+
+        def lower_fn(x, w_ih, w_hh, b, dh):
+            dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+            if row:  # weight/bias grads are partial sums over local rows
+                dwi = jax.lax.psum(dwi, row)
+                dwh = jax.lax.psum(dwh, row)
+                db = jax.lax.psum(db, row)
+            return dx, dwi, dwh, db
+
+        arg_sh = (NamedSharding(mesh, P(None, row_spec, None)),
+                  NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                  NamedSharding(mesh, P()),
+                  NamedSharding(mesh, P(row_spec, None)))
+        res_sh = (NamedSharding(mesh, P(None, row_spec, None)),
+                  NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                  NamedSharding(mesh, P()))
+        return mesh, lower_fn, res_sh, arg_sh
+
+    def bwd_infer(mesh, arg_shapes, result_shape):
+        row = _row_axes(arg_shapes[0].sharding.spec[1]
+                        if len(arg_shapes[0].sharding.spec) > 1 else None)
+        rs = row if row else None
+        return (NamedSharding(mesh, P(None, rs, None)),
+                NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                NamedSharding(mesh, P()))
+
+    bwd_op.def_partition(
+        partition=bwd_partition,
+        infer_sharding_from_operands=bwd_infer,
+        sharding_rule="t n c, c d, c d, d, n c -> t n c, c d, c d, q d")
+
+    return fwd_op, bwd_op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_lstm_last_x(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
-                      b: jax.Array, interpret: bool = False) -> jax.Array:
+                      b: jax.Array, interpret: bool = False,
+                      partitioned: bool = False) -> jax.Array:
     """x [T, N, C] (RAW inputs — the input projection happens in-kernel),
     w_ih/w_hh [C, 4C], b [4C] -> h_T [N, C]. Differentiable: the backward
-    is the fused recompute kernel above."""
+    is the fused recompute kernel above. partitioned=True routes through
+    custom_partitioning so a GSPMD mesh shards the row axis instead of
+    gathering the operands."""
+    if partitioned:
+        return _partitioned_ops(interpret)[0](x, w_ih, w_hh, b)
     return _fwd_call(x, w_ih, w_hh, b, interpret)
 
 
-def _vjp_fwd(x, w_ih, w_hh, b, interpret):
-    return _fwd_call(x, w_ih, w_hh, b, interpret), (x, w_ih, w_hh, b)
+def _vjp_fwd(x, w_ih, w_hh, b, interpret, partitioned):
+    return (fused_lstm_last_x(x, w_ih, w_hh, b, interpret, partitioned),
+            (x, w_ih, w_hh, b))
 
 
-def _vjp_bwd(interpret, residuals, dh):
+def _vjp_bwd(interpret, partitioned, residuals, dh):
     x, w_ih, w_hh, b = residuals
-    dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+    if partitioned:
+        dx, dwi, dwh, db = _partitioned_ops(interpret)[1](x, w_ih, w_hh, b,
+                                                          dh)
+    else:
+        dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
     return (dx, dwi.astype(w_ih.dtype), dwh.astype(w_hh.dtype),
             db.reshape(-1).astype(b.dtype))
 

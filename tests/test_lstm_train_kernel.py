@@ -98,3 +98,55 @@ def test_pixel_lstm_fused_backend_matches_scan():
     np.testing.assert_allclose(np.asarray(loss("pallas_fused_interpret")),
                                np.asarray(loss("scan")),
                                atol=3e-4, rtol=3e-4)
+
+
+class TestGSPMDPartitioning:
+    """The fused kernel under a sharded mesh: custom_partitioning shards
+    the row axis per device and psums the weight grads — outputs and every
+    gradient must match the unsharded scan."""
+
+    def _setup(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        t_steps, n, c = 4, 4 * 48, 64  # rows divide the mesh
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(t_steps, n, c)), jnp.float32)
+        w_ih, w_hh, b = _params(c, key=8)
+        cot = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+        cots = jax.device_put(cot, NamedSharding(mesh, P("data", None)))
+        return x, xs, w_ih, w_hh, b, cot, cots
+
+    def test_forward_sharded_matches_scan(self):
+        x, xs, w_ih, w_hh, b, _, _ = self._setup()
+
+        @jax.jit
+        def fwd(x, w_ih, w_hh, b):
+            return fused_lstm_last_x(x, w_ih, w_hh, b, True, True)
+
+        got = fwd(xs, w_ih, w_hh, b)
+        want = lstm_scan(x, w_ih, w_hh, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_gradients_sharded_match_scan(self):
+        x, xs, w_ih, w_hh, b, cot, cots = self._setup()
+
+        def loss_fused(x, w_ih, w_hh, b, cot):
+            return jnp.sum(fused_lstm_last_x(x, w_ih, w_hh, b, True, True)
+                           * cot)
+
+        def loss_scan(x, w_ih, w_hh, b, cot):
+            return jnp.sum(lstm_scan(x, w_ih, w_hh, b) * cot)
+
+        got = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3)))(
+            xs, w_ih, w_hh, b, cots)
+        want = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(
+            x, w_ih, w_hh, b, cot)
+        for name, w, g in zip(("dx", "dw_ih", "dw_hh", "db"), want, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=3e-4, rtol=3e-4, err_msg=name)
+
+    def test_pixel_lstm_auto_multi_device_is_scan_on_cpu(self):
+        from stf_unet_tpu.ops.pallas.lstm_kernel import lstm_backend_default
+        assert lstm_backend_default(True, n=500000, cdim=64) == "scan"
