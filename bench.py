@@ -59,16 +59,18 @@ def measure_ours(amp: bool) -> dict:
     state = create_train_state(jax.random.key(0), model_cfg, optim, x)
     step = make_train_step(model, optim, schedule, model_cfg.total_classes)
 
-    # XLA's own FLOP count for the whole compiled step (donated args make
-    # re-lowering awkward, so count on a fresh lowering).
+    # One AOT compile serves both the FLOP count and the timed loop (a
+    # separate lowering would double the minutes-long compile on this host).
     flops = 0.0
     try:
-        analysis = step.lower(state, x, y).compile().cost_analysis()
+        compiled = step.lower(state, x, y).compile()
+        analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         flops = float(analysis.get("flops", 0.0))
+        step = compiled
     except Exception:
-        pass
+        pass  # fall back to the jitted step
 
     for _ in range(WARMUP):
         state, loss, _ = step(state, x, y)

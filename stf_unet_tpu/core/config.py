@@ -65,7 +65,9 @@ class ModelConfig:
     use_pk_maps: bool = False
     pk_channels: int = 3
     # TPU execution knobs (stflstm only).
-    lstm_backend: str = "auto"  # {"auto", "scan", "pallas"}
+    # {"auto", "scan", "pallas_fused", "pallas_last"}; "pallas" (the retired
+    # r1 sequence kernel) is accepted as an alias of "pallas_fused".
+    lstm_backend: str = "auto"
     remat: bool = False         # rematerialize encoder activations
 
     @property

@@ -29,34 +29,50 @@ PK_PARAM_NAMES = ("ktrans", "ve", "vp")  # ref:my_dataset.py:203
 def prefetch_iterator(iterable, prefetch: int):
     """Drain `iterable` on a background thread, `prefetch` items deep.
     prefetch <= 0 degrades to plain iteration. Producer exceptions are
-    re-raised in the consumer (never a silently truncated epoch)."""
+    re-raised in the consumer (never a silently truncated epoch). A
+    consumer that abandons the generator early (break / generator close /
+    exception) cancels the producer instead of leaving it blocked on a
+    full queue holding decoded batches."""
     if prefetch <= 0:
         yield from iterable
         return
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
+    cancelled = threading.Event()
+
+    def put(item) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterable:
-                q.put((None, item))
-            q.put(stop)
+                if not put((None, item)):
+                    return
+            put(stop)
         except BaseException as e:  # surface in the consumer
-            q.put((e, None))
+            put((e, None))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        err, value = item
-        if err is not None:
-            t.join()
-            raise RuntimeError("data prefetch thread failed") from err
-        yield value
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            err, value = item
+            if err is not None:
+                raise RuntimeError("data prefetch thread failed") from err
+            yield value
+    finally:
+        cancelled.set()
+        t.join()
 
 
 def _decode_grayscale(path: str) -> np.ndarray:

@@ -89,6 +89,9 @@ def pixel_lstm(feat_seq: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
         backend = lstm_backend_default(train, n=bsz * h * w, cdim=c,
                                        t_steps=t,
                                        itemsize=feat_seq.dtype.itemsize)
+    elif backend in ("pallas", "pallas_interpret"):
+        # r1 name for the retired full-sequence kernel -> its successor
+        backend = backend.replace("pallas", "pallas_fused")
     if backend.startswith("pallas_fused"):
         from stf_unet_tpu.ops.pallas.lstm_train_kernel import fused_lstm_last_x
         bias = b if b is not None else jnp.zeros((4 * c,), lanes.dtype)

@@ -93,9 +93,19 @@ def _make_fwd_kernel(cdim):
     return kernel
 
 
+def _require_plan(t_steps, n, cdim, itemsize):
+    tile = _plan(t_steps, n, cdim, itemsize)
+    if tile is None:
+        raise ValueError(
+            f"fused LSTM kernel does not fit VMEM for T={t_steps}, N={n}, "
+            f"C={cdim}, itemsize={itemsize} — use backend='auto' (routes "
+            f"unfittable scales to scan) or 'scan'")
+    return tile
+
+
 def _fwd_call(x, w_ih, w_hh, b, interpret):
     t_steps, n, cdim = x.shape
-    tile = _plan(t_steps, n, cdim, x.dtype.itemsize)
+    tile = _require_plan(t_steps, n, cdim, x.dtype.itemsize)
     grid = (pl.cdiv(n, tile), t_steps)
     return pl.pallas_call(
         _make_fwd_kernel(cdim),
@@ -210,7 +220,7 @@ def _make_bwd_kernel(cdim, t_steps, tile, n):
 
 def _bwd_call(x, w_ih, w_hh, b, dh, interpret):
     t_steps, n, cdim = x.shape
-    tile = _plan(t_steps, n, cdim, x.dtype.itemsize)
+    tile = _require_plan(t_steps, n, cdim, x.dtype.itemsize)
     grid = (pl.cdiv(n, tile), 2 * t_steps)
 
     def x_index(nb, s):

@@ -66,11 +66,29 @@ def plot_loss_curve(losses: np.ndarray, output_dir: str) -> str:
     return path
 
 
+def fit_with_debug(valid: np.ndarray, quad, cfg, output_dir: str
+                   ) -> np.ndarray:
+    """Debug-mode solver dispatch shared by fit_volume and
+    fit_volume_enhanced: sample voxel curves always; Adam additionally
+    renders its loss curve (ref:pk_fitting.py:271-287,357-366)."""
+    from stf_unet_tpu.pk.fit import fit_adam_debug, fit_lm
+
+    plot_sample_time_curves(valid, cfg.time_points, output_dir)
+    if cfg.solver == "adam":
+        fitted, losses = fit_adam_debug(valid, quad, cfg)
+        plot_loss_curve(losses, output_dir)
+        return fitted
+    return fit_lm(valid, quad, cfg)
+
+
 def render_aif_debug(images: np.ndarray, tissue_mask: np.ndarray,
-                     time_points, output_dir: str) -> dict:
+                     time_points, output_dir: str,
+                     position=None) -> dict:
     """Auto-AIF diagnostics (ref:test_pk_fitting.py:204-231): detected
     curve, location marker on the max-enhancement image, and the masked
-    peak temporal-derivative map the detector maximizes."""
+    peak temporal-derivative map the detector maximizes. `position` is the
+    (row, col) voxel auto_detect_aif picked — pass it so the renders mark
+    the voxel that was actually used for fitting."""
     import cv2
 
     plt = _plt()
@@ -82,7 +100,9 @@ def render_aif_debug(images: np.ndarray, tissue_mask: np.ndarray,
 
     diff = np.diff(imgs, axis=0)
     peak = diff.max(axis=0) * mask.astype(imgs.dtype)
-    x, y = np.unravel_index(int(np.argmax(peak)), peak.shape)
+    if position is None:
+        position = np.unravel_index(int(np.argmax(peak)), peak.shape)
+    x, y = int(position[0]), int(position[1])
     curve = imgs[:, x, y]
 
     plt.figure(figsize=(10, 6))

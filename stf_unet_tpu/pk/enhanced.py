@@ -107,9 +107,10 @@ def fit_volume_enhanced(images: np.ndarray, cfg: PKConfig,
     processed, tissue_mask = enhanced_preprocess(images, debug_output_dir)
 
     aif = make_aif(cfg.aif_method, cfg.aif_dose)
+    pos = None
     if cfg.aif_method == "auto":
-        aif, _ = auto_detect_aif(processed, tissue_mask,
-                                 np.asarray(cfg.time_points))
+        aif, pos = auto_detect_aif(processed, tissue_mask,
+                                   np.asarray(cfg.time_points))
     quad = ToftsQuadrature.build(cfg.time_points, aif, cfg.dt)
 
     pixels = processed.transpose(1, 2, 0).reshape(-1, t_steps)
@@ -117,18 +118,11 @@ def fit_volume_enhanced(images: np.ndarray, cfg: PKConfig,
     valid = pixels[flat_mask]
 
     if debug_output_dir is not None:
-        from stf_unet_tpu.pk.debug import (plot_sample_time_curves,
-                                           render_aif_debug)
-        plot_sample_time_curves(valid, cfg.time_points, debug_output_dir)
-        if cfg.aif_method == "auto":
+        from stf_unet_tpu.pk.debug import fit_with_debug, render_aif_debug
+        if pos is not None:
             render_aif_debug(processed, tissue_mask, cfg.time_points,
-                             debug_output_dir)
-
-    if debug_output_dir is not None and cfg.solver == "adam":
-        from stf_unet_tpu.pk.debug import plot_loss_curve
-        from stf_unet_tpu.pk.fit import fit_adam_debug
-        fitted, losses = fit_adam_debug(valid, quad, cfg)
-        plot_loss_curve(losses, debug_output_dir)
+                             debug_output_dir, position=pos)
+        fitted = fit_with_debug(valid, quad, cfg, debug_output_dir)
     else:
         solver = fit_lm if cfg.solver == "lm" else fit_adam
         fitted = solver(valid, quad, cfg)

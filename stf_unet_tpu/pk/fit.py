@@ -109,8 +109,9 @@ def _init_params(n: int, cfg: PKConfig) -> jax.Array:
 # Adam solver (reference parity)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig,
+                    with_losses: bool = False) -> jax.Array:
     quad = quad_tree
     n = curves.shape[0]
     params = _init_params(n, cfg)
@@ -137,12 +138,17 @@ def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
         vhat = v / (1 - b2 ** t)
         params = params - cfg.lr * mhat / (jnp.sqrt(vhat) + eps)
         params = _clamp(params, cfg)
-        return (params, m, v), loss
+        # per-row losses feed the debug loss-curve render only; return
+        # None otherwise so the production path never materializes the
+        # [num_epochs, N] history in HBM
+        return (params, m, v), (loss if with_losses else None)
 
     init = (params, jnp.zeros_like(params), jnp.zeros_like(params))
     (params, _, _), row_losses = jax.lax.scan(
         step, init, jnp.arange(cfg.num_epochs, dtype=jnp.float32))
-    return params, row_losses  # [N, 3], [num_epochs, N]
+    if with_losses:
+        return params, row_losses  # [N, 3], [num_epochs, N]
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +238,8 @@ def fit_adam_debug(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig
         if pad > 0:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        fitted, row_losses = _adam_fit_chunk(jnp.asarray(chunk), quad, cfg)
+        fitted, row_losses = _adam_fit_chunk(jnp.asarray(chunk), quad, cfg,
+                                             True)
         out.append(np.asarray(fitted)[:m])
         losses.append(np.asarray(row_losses)[:, :m].sum(axis=1))
     return (np.concatenate(out, axis=0),

@@ -49,26 +49,20 @@ def fit_volume(images: np.ndarray, cfg: PKConfig,
           f"(preprocess {time.time() - t0:.2f}s)")
 
     aif = make_aif(cfg.aif_method, cfg.aif_dose)
+    pos = None
     if cfg.aif_method == "auto":
         aif, pos = auto_detect_aif(np.asarray(imgs), mask_np,
                                    np.asarray(cfg.time_points))
         print(f"auto AIF voxel at {pos}")
     quad = ToftsQuadrature.build(cfg.time_points, aif, cfg.dt)
 
-    if debug_output_dir is not None:
-        from stf_unet_tpu.pk.debug import (plot_sample_time_curves,
-                                           render_aif_debug)
-        plot_sample_time_curves(valid, cfg.time_points, debug_output_dir)
-        if cfg.aif_method == "auto":
-            render_aif_debug(np.asarray(imgs), mask_np, cfg.time_points,
-                             debug_output_dir)
-
     t0 = time.time()
-    if debug_output_dir is not None and cfg.solver == "adam":
-        from stf_unet_tpu.pk.debug import plot_loss_curve
-        from stf_unet_tpu.pk.fit import fit_adam_debug
-        fitted, losses = fit_adam_debug(valid, quad, cfg)
-        plot_loss_curve(losses, debug_output_dir)
+    if debug_output_dir is not None:
+        from stf_unet_tpu.pk.debug import fit_with_debug, render_aif_debug
+        if pos is not None:
+            render_aif_debug(np.asarray(imgs), mask_np, cfg.time_points,
+                             debug_output_dir, position=pos)
+        fitted = fit_with_debug(valid, quad, cfg, debug_output_dir)
     else:
         solver = fit_lm if cfg.solver == "lm" else fit_adam
         fitted = solver(valid, quad, cfg)  # [Nvalid, 3]

@@ -124,3 +124,25 @@ def test_eval_prefetch_off_matches_on(two_shape_root):
     for (ia, ta), (ib, tb) in zip(a, b):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ta, tb)
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Breaking out of a prefetched epoch must cancel the producer thread
+    rather than leaving it blocked on a full queue."""
+    import threading
+    from stf_unet_tpu.data.loader import prefetch_iterator
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch_iterator(gen(), 2)
+    assert next(it) == 0
+    it.close()  # abandon early
+    # producer must have exited; no runaway production past the queue depth
+    assert threading.active_count() <= before + 1
+    assert len(produced) < 20

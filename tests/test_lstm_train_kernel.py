@@ -150,3 +150,24 @@ class TestGSPMDPartitioning:
     def test_pixel_lstm_auto_multi_device_is_scan_on_cpu(self):
         from stf_unet_tpu.ops.pallas.lstm_kernel import lstm_backend_default
         assert lstm_backend_default(True, n=500000, cdim=64) == "scan"
+
+
+def test_explicit_fused_backend_unfittable_raises_clearly():
+    rng = np.random.default_rng(9)
+    feat = jnp.asarray(rng.normal(size=(1, 2, 4, 4, 512)), jnp.float32)
+    w = jnp.zeros((512, 2048), jnp.float32)
+    b = jnp.zeros((2048,), jnp.float32)
+    from stf_unet_tpu.ops.lstm import pixel_lstm
+    with pytest.raises(ValueError, match="does not fit VMEM"):
+        pixel_lstm(feat, w, w, b, backend="pallas_fused_interpret")
+
+
+def test_legacy_pallas_backend_aliases_to_fused():
+    from stf_unet_tpu.ops.lstm import pixel_lstm
+    rng = np.random.default_rng(10)
+    feat = jnp.asarray(rng.normal(size=(2, 3, 4, 4, 64)), jnp.float32)
+    w_ih, w_hh, b = _params(64, key=11)
+    got = pixel_lstm(feat, w_ih, w_hh, b, backend="pallas_interpret")
+    want = pixel_lstm(feat, w_ih, w_hh, b, backend="scan")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
