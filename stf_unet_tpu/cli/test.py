@@ -111,5 +111,9 @@ def test(args: argparse.Namespace) -> dict:
     return metrics
 
 
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    return test(parse_args(argv))
+
+
 if __name__ == "__main__":
-    test(parse_args())
+    main()
