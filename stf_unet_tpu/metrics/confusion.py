@@ -24,14 +24,23 @@ def confusion_update(mat: jax.Array, target: jax.Array, pred: jax.Array) -> jax.
     """mat += bincount(n*a + b) over pixels with 0 <= a < n (ref:30-39).
 
     The `0 <= a < n` guard is what drops the 255 padding label.
+
+    Computed as a one-hot cross matmul instead of a scatter-add: per-pixel
+    scatters lower to the same catastrophic TPU path as gathers (the CE
+    take_along_axis measured 11.8 ms/step before its one-hot rewrite),
+    while [P, n]^T @ [P, n] rides the MXU. f32 partial counts are exact
+    (per-update pixel count << 2^24); accumulation stays int32.
     """
     n = mat.shape[0]
     a = target.reshape(-1)
     b = pred.reshape(-1)
     valid = (a >= 0) & (a < n)
-    idx = jnp.where(valid, n * a + b, n * n)  # out-of-range -> dropped
-    flat = jnp.zeros(n * n + 1, dtype=mat.dtype).at[idx].add(1)
-    return mat + flat[:-1].reshape(n, n)
+    oh_a = jax.nn.one_hot(jnp.where(valid, a, 0), n, dtype=jnp.float32)
+    oh_a = oh_a * valid[:, None].astype(jnp.float32)
+    oh_b = jax.nn.one_hot(b, n, dtype=jnp.float32)  # OOB pred -> zero row
+    counts = jnp.einsum("pc,pd->cd", oh_a, oh_b,
+                        preferred_element_type=jnp.float32)
+    return mat + jnp.round(counts).astype(mat.dtype)
 
 
 def confusion_compute(mat: jax.Array):
