@@ -244,7 +244,25 @@ def parse_config(argv: Optional[Sequence[str]] = None,
                                     nargs="?", const=True, metavar="BOOL")
             else:
                 parser.add_argument(flag, dest=dest, type=typ, default=None)
+    # Vestigial reference flags, accepted and ignored so a reference user's
+    # exact command line runs unchanged: --device (JAX owns device
+    # placement; use --data-parallel/--multihost), --workers (the threaded
+    # HostLoader replaces worker processes; see --data-prefetch),
+    # --momentum (unused by the reference too — its optimizer is AdamW,
+    # ref:train.py:106,227-237; betas via --optim-beta1/2).
+    for flag, dest in (("--device", "_ignored_device"),
+                       ("--workers", "_ignored_workers"),
+                       ("--momentum", "_ignored_momentum")):
+        if flag not in existing:
+            parser.add_argument(flag, dest=dest, type=str, default=None,
+                                help=argparse.SUPPRESS)
     ns = parser.parse_args(argv)
+    for flag, dest in (("--device", "_ignored_device"),
+                       ("--workers", "_ignored_workers"),
+                       ("--momentum", "_ignored_momentum")):
+        if getattr(ns, dest, None) is not None:
+            print(f"note: {flag} is accepted for reference compatibility "
+                  "and ignored (see MIGRATION.md)")
     cfg = _apply_overrides(cfg, ns)
     if getattr(ns, "matmul_precision_fast", None):
         # --tf32: the reduced-precision matmul mode; TPU 'default' is it.

@@ -210,6 +210,27 @@ def test_config_bare_boolean_flags():
     assert cfg.silent is False
 
 
+def test_config_reference_command_line_runs_unchanged(capsys):
+    """A reference user's full train.py command line (ref:train.py:96-121)
+    parses without modification: vestigial flags (--device, --workers,
+    --momentum) are accepted and ignored with a notice (MIGRATION.md)."""
+    from stf_unet_tpu.core.config import parse_config
+    cfg = parse_config([
+        "--model", "stflstm", "--data-path", "/data/BreaDM",
+        "--num-classes", "1", "--device", "cuda:0", "--batch-size", "16",
+        "--epochs", "100", "--lr", "0.001", "--momentum", "0.9",
+        "--weight-decay", "1e-4", "--print-freq", "10", "--workers", "4",
+        "--amp", "--save-best", "--use-pk-maps",
+    ])
+    assert cfg.model.model == "stflstm"
+    assert cfg.data.data_path == "/data/BreaDM"
+    assert cfg.batch_size == 16 and cfg.amp is True
+    assert cfg.optim.lr == 0.001 and cfg.optim.weight_decay == 1e-4
+    out = capsys.readouterr().out
+    for flag in ("--device", "--workers", "--momentum"):
+        assert flag in out  # the ignored-flag notice names each flag
+
+
 def test_affine_warp_matches_pil_resize_crop():
     """Fixed-parameter check of the fused warp: upscale x2 (PIL bilinear has
     no antialias when upscaling) + crop == PIL resize -> crop."""
