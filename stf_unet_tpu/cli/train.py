@@ -211,25 +211,33 @@ def main(cfg: TrainConfig) -> dict:
                         f"mean_recall: {metrics['mean_metrics']['mrecall']:.4f}\n"
                         f"{metrics['confusion_str']}\n\n")
 
+        # Saves are queued to a background worker (device->host fetch +
+        # Orbax write overlap the next epoch's compute); ckpt.restore/wait
+        # below drain the queue before the state is read back.
         if cfg.save_best:
             if is_main:
-                ckpt.save("latest", state, epoch=epoch, best_dice=best_dice,
-                          config_json=cfg_json, seed=cfg.seed)
+                ckpt.save_async("latest", state, epoch=epoch,
+                                best_dice=best_dice, config_json=cfg_json,
+                                seed=cfg.seed)
             if best_dice < dice:
                 if is_main:
-                    ckpt.save("best", state, epoch=epoch, best_dice=dice,
-                              config_json=cfg_json, seed=cfg.seed)
+                    ckpt.save_async("best", state, epoch=epoch,
+                                    best_dice=dice, config_json=cfg_json,
+                                    seed=cfg.seed)
                     print(f"New best model saved at epoch {epoch}, "
                           f"Dice = {dice:.4f}")
                 best_dice = dice
         elif is_main:
-            ckpt.save(f"epoch{epoch}", state, epoch=epoch, best_dice=best_dice,
-                      config_json=cfg_json, seed=cfg.seed)
+            ckpt.save_async(f"epoch{epoch}", state, epoch=epoch,
+                            best_dice=best_dice, config_json=cfg_json,
+                            seed=cfg.seed)
 
         if early_stopper.step(dice):
             print(f"Early stopping at epoch {epoch + 1}")
             break
 
+    if is_main:
+        ckpt.wait()  # drain queued saves before reading checkpoints back
     total_time = time.time() - start_time
     print(f"Training time {datetime.timedelta(seconds=int(total_time))}")
 

@@ -11,14 +11,29 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Dict, List
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from stf_unet_tpu.train.state import TrainState
 
 META_NAME = "meta.json"
+
+
+@jax.jit
+def _snapshot(tree):
+    """On-device copy of every leaf as ONE compiled program.
+
+    jnp.copy must run under jit: eagerly it dispatches per leaf, and on a
+    remote-tunneled device a few hundred leaf dispatches cost seconds. A
+    bare jitted identity would not do — jax short-circuits outputs that are
+    inputs — but jnp.copy inside jit lowers to real copy ops, so the
+    outputs are fresh buffers that later donations of the source state
+    cannot free."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
 class CheckpointManager:
@@ -28,6 +43,11 @@ class CheckpointManager:
         self.tag_suffix = tag_suffix
         os.makedirs(self.save_dir, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
+        # Single worker => saves execute in submission order (a "best" save
+        # queued after a "latest" save can never be overtaken).
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ckpt-save")
+        self._pending: List[Future] = []
 
     def _path(self, kind: str) -> str:
         # kind in {"latest", "best"} or "epoch{N}" (ref naming, train.py:317-328)
@@ -37,21 +57,57 @@ class CheckpointManager:
     def save(self, kind: str, state: TrainState, *, epoch: int,
              best_dice: float, config_json: str = "", seed: int = 0) -> str:
         path = self._path(kind)
-        tree = {
+        self.wait()  # never interleave with queued async saves
+        self._write(path, self._tree(state), epoch, best_dice, config_json,
+                    seed)
+        return path
+
+    def save_async(self, kind: str, state: TrainState, *, epoch: int,
+                   best_dice: float, config_json: str = "",
+                   seed: int = 0) -> str:
+        """Queue a save and return immediately.
+
+        The train loop donates `state` into the next step, which would free
+        the buffers under a background `device_get`; an on-device snapshot
+        (one jitted copy program, enqueued before any later donation on the
+        same stream) pins the values, and the worker thread then does the
+        expensive device->host fetch + Orbax write while the next epoch
+        computes. The fetch is the dominant cost (e.g. ~330 MB of flagship
+        state over a slow host link), so overlapping it is worth one
+        transient state copy in HBM. Call `wait()` before restoring or
+        exiting."""
+        path = self._path(kind)
+        snap = _snapshot(self._tree(state))
+        self._pending.append(self._pool.submit(
+            self._write, path, snap, epoch, best_dice, config_json, seed))
+        return path
+
+    def wait(self) -> None:
+        """Drain queued async saves, re-raising the first failure."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
+    @staticmethod
+    def _tree(state: TrainState) -> Dict[str, Any]:
+        return {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
         }
+
+    def _write(self, path: str, tree: Dict[str, Any], epoch: int,
+               best_dice: float, config_json: str, seed: int) -> None:
         tree = jax.device_get(tree)
         self._ckptr.save(path, tree, force=True)
         with open(os.path.join(path, META_NAME), "w") as f:
             json.dump({"epoch": epoch, "best_dice": best_dice,
                        "config": config_json, "seed": seed}, f)
-        return path
 
     def restore(self, kind_or_path: str, template: TrainState
                 ) -> tuple[TrainState, Dict[str, Any]]:
+        self.wait()
         path = kind_or_path
         if not os.path.isabs(path) and not os.path.exists(path):
             path = self._path(kind_or_path)

@@ -53,6 +53,49 @@ def test_train_cli_end_to_end(tiny_root, tmp_path):
     assert len(compares) == 2
 
 
+def test_checkpoint_save_async_roundtrip(tmp_path):
+    """Queued async saves: snapshot-at-call semantics (later in-place state
+    changes don't leak into an already-queued save), submission ordering,
+    and wait-before-restore."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.checkpoint import CheckpointManager
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4)
+    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 2, 2))
+    x = jnp.zeros((1, 8, 16, 16, 1), jnp.float32)
+    state = create_train_state(jax.random.key(0), cfg, optim, x)
+
+    mgr = CheckpointManager(str(tmp_path / "w"), "unet")
+    mgr.save_async("latest", state, epoch=0, best_dice=0.1)
+    # second state: params + 1 — queued after, must win the same path
+    state2 = TrainState(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, state.params),
+        batch_stats=state.batch_stats, opt_state=state.opt_state,
+        step=state.step + 1)
+    mgr.save_async("latest", state2, epoch=1, best_dice=0.2)
+    mgr.save_async("best", state, epoch=0, best_dice=0.1)
+
+    restored, meta = mgr.restore("latest", state)  # restore() drains queue
+    assert meta["epoch"] == 1
+    assert int(restored.step) == int(state.step) + 1
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    rleaf = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(rleaf), np.asarray(leaf) + 1.0)
+
+    restored_best, meta_best = mgr.restore("best", state)
+    assert meta_best["epoch"] == 0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored_best.params)[0]),
+        np.asarray(leaf))
+    mgr.wait()  # idempotent on an empty queue
+
+
 def test_train_cli_resume(tiny_root, tmp_path):
     from stf_unet_tpu.cli.train import run
     run(_flags(tiny_root, str(tmp_path), epochs=1))
