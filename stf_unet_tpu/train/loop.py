@@ -18,7 +18,7 @@ import numpy as np
 
 from stf_unet_tpu.core import mesh as mesh_lib
 from stf_unet_tpu.core.prng import augment_key
-from stf_unet_tpu.data.loader import HostLoader
+from stf_unet_tpu.data.loader import HostLoader, prefetch_iterator
 from stf_unet_tpu.data.transforms import TrainAugment, eval_preprocess
 from stf_unet_tpu.losses.criterion import criterion
 from stf_unet_tpu.metrics.confusion import (confusion_init,
@@ -76,16 +76,34 @@ def make_train_step(model, optim, schedule, num_classes: int,
     return fused_train_step
 
 
+def _batch_to_device(batch, mesh):
+    """Move one host Batch onto the device (sharded under a mesh).
+    Runs on the device-prefetch thread so the H2D transfer of batch N+1
+    overlaps step N's compute — without this the transfer serializes with
+    dispatch on the main thread (the dominant cost on slow host links)."""
+    tree = (batch.frames, batch.masks, batch.sizes) + (
+        (batch.pk,) if batch.pk is not None else ())
+    if mesh is not None:
+        parts = mesh_lib.shard_batch(mesh, tree)
+    else:
+        parts = tuple(jnp.asarray(x) for x in tree)
+    pk = parts[3] if batch.pk is not None else None
+    return parts[0], parts[1], parts[2], pk
+
+
 def train_one_epoch(state: TrainState, train_step: Callable,
                     loader: HostLoader, augment: Optional[TrainAugment],
                     root_key: jax.Array, epoch: int, *,
-                    mesh=None, print_freq: int = 10
+                    mesh=None, print_freq: int = 10,
+                    device_prefetch: int = 2
                     ) -> Tuple[TrainState, float, float]:
     """One epoch (ref:train_and_eval.py:377-411). Returns
     (state, mean loss, last lr).
 
     augment=None means `train_step` is a fused step (augmentation compiled
-    into the same program; see make_train_step)."""
+    into the same program; see make_train_step). device_prefetch > 0 moves
+    the H2D transfer onto a background thread, `device_prefetch` batches
+    deep (0 disables: transfer inline, for debugging)."""
     logger = MetricLogger(delimiter="  ")
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
@@ -93,20 +111,12 @@ def train_one_epoch(state: TrainState, train_step: Callable,
     pending = None  # one-step-delayed (loss, lr) fetch: materializing a
     # device value synchronizes the host with the chip, so fetch the
     # PREVIOUS step's scalars while the current step computes.
-    for batch in logger.log_every(loader.epoch(epoch), print_freq, header,
-                                  total=len(loader)):
+    device_iter = (_batch_to_device(b, mesh) for b in loader.epoch(epoch))
+    if device_prefetch > 0:
+        device_iter = prefetch_iterator(device_iter, device_prefetch)
+    for frames, masks, sizes, pk in logger.log_every(
+            device_iter, print_freq, header, total=len(loader)):
         key = augment_key(root_key, epoch, step_in_epoch)
-        if mesh is not None:
-            sharded = mesh_lib.shard_batch(
-                mesh, (batch.frames, batch.masks, batch.sizes)
-                + ((batch.pk,) if batch.pk is not None else ()))
-            frames, masks, sizes = sharded[:3]
-            pk = sharded[3] if batch.pk is not None else None
-        else:
-            frames = jnp.asarray(batch.frames)
-            masks = jnp.asarray(batch.masks)
-            sizes = jnp.asarray(batch.sizes)
-            pk = jnp.asarray(batch.pk) if batch.pk is not None else None
         if augment is None:
             state, loss, lr = train_step(state, key, frames, masks, sizes, pk)
         else:
@@ -170,9 +180,12 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     logger = MetricLogger(delimiter="  ")
     outputs = []
     batches = []
-    for image, target in logger.log_every(eval_batches, print_freq, "Test:"):
-        image = jnp.asarray(image)
-        target = jnp.asarray(target)
+    # H2D on a background thread (1 deep): batch N+1 transfers while batch
+    # N's eval step runs — the eval-side twin of train_one_epoch's
+    # device_prefetch.
+    device_batches = prefetch_iterator(
+        ((jnp.asarray(img), jnp.asarray(tgt)) for img, tgt in eval_batches), 1)
+    for image, target in logger.log_every(device_batches, print_freq, "Test:"):
         logits, conf, dice_cum, dice_count = stepper(
             variables, image, target, conf, dice_cum, dice_count)
         if collect_outputs:

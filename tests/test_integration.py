@@ -132,3 +132,43 @@ def test_test_cli(tiny_root, tmp_path):
     assert 0.0 <= metrics["dice"] <= 1.0
     overlays = glob.glob(os.path.join(tmp_path, "overlays", "unet_*.png"))
     assert len(overlays) == 2
+
+def test_device_prefetch_modes_identical(tiny_root):
+    """Async H2D transfer (train_one_epoch device_prefetch>0) must not
+    change results: same state/seed -> equal epoch loss vs inline
+    transfers (device_prefetch=0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+    from stf_unet_tpu.core.prng import root_key
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.loader import HostLoader
+    from stf_unet_tpu.data.transforms import TrainAugment
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step, train_one_epoch
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    data_cfg = DataConfig(base_size=40, crop_size=32)
+    idx = DatasetIndex(str(tiny_root), "train",
+                       data_cfg.resolved_sequence_types)
+    model_cfg = ModelConfig(model="unet", num_classes=1, base_c=4,
+                            time_steps=8)
+    model = create_model(model_cfg)
+    sched = warmup_poly_schedule(1e-3, 1, 2)
+    optim = make_optimizer(OptimConfig(), sched)
+    sample = jnp.zeros((2, 8, 64, 64, 1), jnp.float32)
+    augment = TrainAugment(data_cfg)
+    step = make_train_step(model, optim, sched, 2, augment=augment)
+    key = root_key(0)
+
+    losses = []
+    for dp in (0, 2):
+        loader = HostLoader(idx, 2, shuffle=True, seed=0)
+        state = create_train_state(jax.random.key(0), model_cfg, optim,
+                                   sample)
+        state, loss, _ = train_one_epoch(state, step, loader, None, key, 0,
+                                         device_prefetch=dp)
+        losses.append(loss)
+    assert losses[0] == losses[1]
