@@ -155,6 +155,36 @@ def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig,
 # Levenberg-Marquardt solver (fast path)
 # ---------------------------------------------------------------------------
 
+def _solve3x3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Closed-form adjugate solve of batched 3x3 systems a @ x = b
+    ([N,3,3], [N,3] -> [N,3]) — pure VPU elementwise ops.
+
+    jnp.linalg.solve lowers to batched LU, which is pathological on TPU for
+    tiny matrices: measured 714 ms vs 9.5 ms for 50 x 16384 solves (75x).
+    The systems here are damped JtJ (SPD, conditioned by the LM lambda), so
+    f32 Cramer is well within the accuracy an LM step direction needs — the
+    step-acceptance check guards the rest.
+    """
+    a00, a01, a02 = a[:, 0, 0], a[:, 0, 1], a[:, 0, 2]
+    a10, a11, a12 = a[:, 1, 0], a[:, 1, 1], a[:, 1, 2]
+    a20, a21, a22 = a[:, 2, 0], a[:, 2, 1], a[:, 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c10 = -(a01 * a22 - a02 * a21)
+    c20 = a01 * a12 - a02 * a11
+    c01 = -(a10 * a22 - a12 * a20)
+    c11 = a00 * a22 - a02 * a20
+    c21 = -(a00 * a12 - a02 * a10)
+    c02 = a10 * a21 - a11 * a20
+    c12 = -(a00 * a21 - a01 * a20)
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) / det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) / det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
     quad = quad_tree
@@ -180,9 +210,8 @@ def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
         cost_p = jnp.sum(r * r, axis=1)                  # free from r
         jtj = jnp.einsum("nti,ntj->nij", jac, jac)       # [N,3,3]
         jtr = jnp.einsum("nti,nt->ni", jac, r)           # [N,3]
-        damped = jtj + lam[:, None, None] * jnp.eye(3)[None]
-        delta = jnp.linalg.solve(
-            damped + 1e-12 * jnp.eye(3)[None], -jtr[..., None])[..., 0]
+        damped = jtj + (lam[:, None, None] + 1e-12) * jnp.eye(3)[None]
+        delta = _solve3x3(damped, -jtr)
         cand = _clamp(p + delta, cfg)
         r_cand = residuals(cand)                         # one extra forward
         cost_cand = jnp.sum(r_cand * r_cand, axis=1)

@@ -189,3 +189,22 @@ def test_tofts_pallas_kernel_parity():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sl_p), np.asarray(sl_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_solve3x3_matches_lapack():
+    """The closed-form adjugate solve used by the LM step (75x faster than
+    batched LU on TPU) must agree with LAPACK on damped-JtJ-like systems."""
+    from stf_unet_tpu.pk.fit import _solve3x3
+
+    rng = np.random.default_rng(0)
+    jac = rng.normal(size=(64, 8, 3)).astype(np.float32)
+    a = np.einsum("nti,ntj->nij", jac, jac)
+    # LM-style damping across the lambda range the solver clips to
+    lams = np.logspace(-8, 2, 64).astype(np.float32)
+    a = a + lams[:, None, None] * np.eye(3, dtype=np.float32)
+    b = rng.normal(size=(64, 3)).astype(np.float32)
+
+    got = np.asarray(_solve3x3(jnp.asarray(a), jnp.asarray(b)))
+    want = np.linalg.solve(a.astype(np.float64),
+                           b.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-4)
