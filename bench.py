@@ -146,6 +146,11 @@ def measure_reference_cpu() -> float:
 
 
 def main() -> None:
+    try:  # warm-start repeat runs; the measured loop is warm either way
+        from stf_unet_tpu.core.cache import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
     f32 = measure_ours(amp=False)
     bf16 = measure_ours(amp=True)
 

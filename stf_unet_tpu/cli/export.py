@@ -123,6 +123,8 @@ def export_model(args: argparse.Namespace) -> str:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> str:
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", type=str, default="stflstm",
                     choices=["stflstm", "unet"])

@@ -128,6 +128,8 @@ def run_pipeline(args: argparse.Namespace) -> dict:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> dict:
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", type=str, required=True)
     ap.add_argument("--model", type=str, default="stflstm",

@@ -61,6 +61,8 @@ def predict_mask(logits: np.ndarray, mode: str = "argmax") -> np.ndarray:
 
 
 def test(args: argparse.Namespace) -> dict:
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     data_cfg = DataConfig(data_path=args.root,
                           use_subtraction=args.use_subtraction,
                           use_pk_maps=args.use_pk_maps)

@@ -71,6 +71,12 @@ def main(cfg: TrainConfig) -> dict:
         jax.config.update("jax_debug_nans", True)
         print("NaN sanitizer enabled (jax_debug_nans)")
 
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache(
+        None if cfg.compile_cache_dir == "auto" else cfg.compile_cache_dir)
+    if cache_dir:
+        print(f"persistent compilation cache: {cache_dir}")
+
     if cfg.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
         print(f"matmul precision: {cfg.matmul_precision}")

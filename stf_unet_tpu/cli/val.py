@@ -59,6 +59,8 @@ def load_or_create_config(path: str) -> dict:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> dict:
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="STF-UNet TPU validation")
     ap.add_argument("--model-path", type=str, default="./save_weights")
     ap.add_argument("--root", type=str, default="./BreaDM")

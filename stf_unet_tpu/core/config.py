@@ -139,6 +139,9 @@ class TrainConfig:
     jsonl_metrics: bool = True
     profile_dir: str = ""
     nan_check: bool = False
+    # Persistent XLA compilation cache (core/cache.py): "auto" -> the
+    # default per-user dir, "" -> disabled, anything else -> that path.
+    compile_cache_dir: str = "auto"
 
     @property
     def tag_suffix(self) -> str:

@@ -232,6 +232,9 @@ def compare_aif_for_dataset(dataset_path: str,
 
 def main(argv=None):
     import argparse
+
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Extended-Tofts PK map generation")
     ap.add_argument("dataset_path")
     ap.add_argument("--splits", type=str, default="training,val,test")

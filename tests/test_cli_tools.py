@@ -143,3 +143,21 @@ def test_predict_mask_sigmoid_matches_torch_reference():
     # argmax default unchanged
     np.testing.assert_array_equal(predict_mask(logits),
                                   np.argmax(logits, axis=-1))
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache points jax at the dir, is idempotent, and
+    an empty path (config "" / --compile-cache-dir '') disables it."""
+    import jax
+
+    from stf_unet_tpu.core import cache
+
+    monkeypatch.setattr(cache, "_ENABLED_DIR", None)
+    assert cache.enable_compilation_cache("") is None
+
+    target = str(tmp_path / "xla_cache")
+    got = cache.enable_compilation_cache(target)
+    assert got == target and os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target
+    # idempotent: a second call (even with another path) keeps the first
+    assert cache.enable_compilation_cache(str(tmp_path / "o")) == target
