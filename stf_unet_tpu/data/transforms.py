@@ -147,8 +147,14 @@ def _build_affine(scale, res_h, res_w, hflip, vflip, angle, y0, x0):
 def _bilinear_gather(img: jax.Array, gy: jax.Array, gx: jax.Array,
                      valid_h: jax.Array, valid_w: jax.Array) -> jax.Array:
     """Sample img [..., H, W] at float coords (gy, gx) [Ho, Wo]; out-of-range
-    of the VALID region (original size before canvas padding) -> 0."""
+    of the VALID region (original size before canvas padding) -> 0.
+
+    Taps index the FLATTENED [H*W] minor axis: a 2-axis point gather
+    (img[..., yc, xc]) scalarizes on TPU (isolated micro-bench: 3.25 s vs
+    22 ms for the same taps at [B16,T8] 256²->224², tools/perf_warp_gather.py);
+    the single minor-axis gather vectorizes."""
     h, w = img.shape[-2], img.shape[-1]
+    flat = img.reshape(img.shape[:-2] + (h * w,))
     y0 = jnp.floor(gy)
     x0 = jnp.floor(gx)
     wy = gy - y0
@@ -159,7 +165,7 @@ def _bilinear_gather(img: jax.Array, gy: jax.Array, gx: jax.Array,
                   (xx >= 0) & (xx <= valid_w - 1))
         yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-        vals = img[..., yc, xc]
+        vals = flat[..., yc * w + xc]
         return vals * inside.astype(img.dtype)
 
     v00 = tap(y0, x0)
@@ -181,8 +187,58 @@ def _nearest_gather(img: jax.Array, gy: jax.Array, gx: jax.Array,
     inside = (yy >= 0) & (yy <= valid_h - 1) & (xx >= 0) & (xx <= valid_w - 1)
     yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
     xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-    vals = img[..., yc, xc]
+    # flattened single-axis gather: see _bilinear_gather
+    vals = img.reshape(img.shape[:-2] + (h * w,))[..., yc * w + xc]
     return jnp.where(inside, vals, jnp.asarray(fill, dtype=img.dtype))
+
+
+def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
+                               gy: jax.Array, gx: jax.Array,
+                               valid_h: jax.Array, valid_w: jax.Array,
+                               fill: int = 0):
+    """Fused warp: bilinear-sample chans [C, H, W] AND nearest-sample the
+    mask [H, W] from ONE set of 4 tap gathers (the mask rides as an extra
+    gathered channel). The point-gathers dominate the augment program
+    (~7 ns/index regardless of width, tools/perf_warp_gather.py), so a
+    separate 1-wide mask gather costs as much as all frame taps together —
+    folding it in removes that gather entirely.
+
+    Nearest parity with _nearest_gather: the chosen tap is
+    (round(gy), round(gx)) — jnp.round's banker's rounding reproduced via
+    `round(g) != floor(g)` tap selection; out-of-valid -> fill.
+    Returns (bilinear chans [C, Ho, Wo], nearest mask [Ho, Wo])."""
+    h, w = chans.shape[-2], chans.shape[-1]
+    stacked = jnp.concatenate([chans, mask_f[None].astype(chans.dtype)],
+                              axis=0)
+    flat = stacked.reshape(stacked.shape[0], h * w)
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = gy - y0
+    wx = gx - x0
+
+    def tap(yy, xx):
+        inside = ((yy >= 0) & (yy <= valid_h - 1) &
+                  (xx >= 0) & (xx <= valid_w - 1))
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        return flat[:, yc * w + xc] * inside.astype(chans.dtype), inside
+
+    v00, in00 = tap(y0, x0)
+    v01, in01 = tap(y0, x0 + 1)
+    v10, in10 = tap(y0 + 1, x0)
+    v11, in11 = tap(y0 + 1, x0 + 1)
+    wyc = wy[None].astype(chans.dtype)
+    wxc = wx[None].astype(chans.dtype)
+    bil = (v00 * (1 - wyc) * (1 - wxc) + v01 * (1 - wyc) * wxc
+           + v10 * wyc * (1 - wxc) + v11 * wyc * wxc)[:-1]
+    sy = jnp.round(gy) != y0
+    sx = jnp.round(gx) != x0
+    near = jnp.where(sy, jnp.where(sx, v11[-1], v10[-1]),
+                     jnp.where(sx, v01[-1], v00[-1]))
+    inside_r = jnp.where(sy, jnp.where(sx, in11, in10),
+                         jnp.where(sx, in01, in00))
+    near = jnp.where(inside_r, near, jnp.asarray(fill, chans.dtype))
+    return bil, near
 
 
 class TrainAugment:
@@ -228,10 +284,22 @@ class TrainAugment:
             if self.cfg.shared_frame_augmentation:
                 # One draw for the whole sample (documented fix of the
                 # reference's per-frame re-roll, ref:my_dataset.py:173-179).
+                # Frames, PK maps, and the nearest-sampled mask all share
+                # ONE set of tap gathers (_warp_bilinear_and_nearest).
                 gy, gx = draw(k)
-                warped = _bilinear_gather(img, gy, gx, src_h, src_w)
+                chans = img if pk_f is None else jnp.concatenate(
+                    [img, pk_f], axis=0)
+                warped_all, near = _warp_bilinear_and_nearest(
+                    chans, mask_i.astype(jnp.float32), gy, gx, src_h, src_w)
+                warped = warped_all[:img.shape[0]]
                 if pk_f is not None:
-                    pk_w = _bilinear_gather(pk_f, gy, gx, src_h, src_w)
+                    pk_w = warped_all[img.shape[0]:]
+                warped = (warped - self.cfg.mean) / self.cfg.std
+                tgt = near.astype(jnp.int32)
+                if pk_f is not None:
+                    pk_w = (pk_w - self.cfg.mean) / self.cfg.std
+                    warped = jnp.concatenate([warped, pk_w], axis=0)
+                return warped, tgt
             else:
                 # Reference-faithful quirk mode: every frame (and every PK
                 # map) re-rolls its own transform; the mask follows frame 0.

@@ -461,3 +461,37 @@ def test_audit_zero_byte_mask_native_ignored(tmp_path):
     loader = HostLoader(idx, batch_size=1, shuffle=False, use_native=True)
     batch = next(loader.epoch(0))
     assert (batch.masks == 255).all()
+
+
+def test_fused_warp_matches_standalone_gathers():
+    """_warp_bilinear_and_nearest (mask riding the frame tap gathers) must
+    reproduce _bilinear_gather + _nearest_gather exactly — including
+    banker's-rounding nearest selection, 255 canvas padding, and
+    out-of-valid zero/fill handling."""
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.data.transforms import (_bilinear_gather,
+                                              _nearest_gather,
+                                              _warp_bilinear_and_nearest)
+
+    rng = np.random.default_rng(7)
+    h = w = 40
+    chans = jnp.asarray(rng.random((5, h, w)), jnp.float32)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[:33, :37] = rng.integers(0, 2, (33, 37))  # valid region + 255 pad
+    mask_f = jnp.asarray(mask, jnp.float32)
+    # coords spanning in-range, out-of-range, and exact .5 fractions
+    gy = jnp.asarray(rng.uniform(-3, h + 2, (24, 24)), jnp.float32)
+    gx = jnp.asarray(rng.uniform(-3, w + 2, (24, 24)), jnp.float32)
+    gy = gy.at[0, :8].set(jnp.arange(8, dtype=jnp.float32) + 0.5)
+    gx = gx.at[0, :8].set(jnp.arange(8, dtype=jnp.float32) + 0.5)
+    valid_h, valid_w = jnp.float32(33), jnp.float32(37)
+
+    bil, near = _warp_bilinear_and_nearest(chans, mask_f, gy, gx,
+                                           valid_h, valid_w)
+    want_bil = _bilinear_gather(chans, gy, gx, valid_h, valid_w)
+    want_near = _nearest_gather(jnp.asarray(mask, jnp.int32), gy, gx,
+                                valid_h, valid_w, fill=0)
+    np.testing.assert_array_equal(np.asarray(bil), np.asarray(want_bil))
+    np.testing.assert_array_equal(np.asarray(near).astype(np.int32),
+                                  np.asarray(want_near))

@@ -1,0 +1,168 @@
+"""Benchmark formulations of the augmentation warp's bilinear gather.
+
+The fused device augmentation samples [B,T,256,256] frames at 224² warped
+coordinates (4 taps/pixel). XLA TPU point-gathers are slow; this harness
+compares:
+  2d      img[..., yc, xc]              (current)
+  flat    img.reshape(T,-1)[..., yc*W+xc]  (single minor-axis gather)
+  take    jnp.take(flat, idx, axis=-1)
+  matmul  exact row-banded two-stage contraction (per output row y:
+          D_y = img @ Bx_y^T, out = sum_h A * D) — MXU formulation
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, T, H, W, CROP = 16, 8, 256, 256, 224
+
+
+def make_coords(key):
+    """Per-sample affine coords like the real warp (rotation+scale+crop)."""
+    ang = jax.random.uniform(key, (B,), minval=-0.5, maxval=0.5)
+    scale = jax.random.uniform(key, (B,), minval=0.8, maxval=1.2)
+    cy = cx = H / 2.0
+    y, x = jnp.meshgrid(jnp.arange(CROP, dtype=jnp.float32),
+                        jnp.arange(CROP, dtype=jnp.float32), indexing="ij")
+    cos = jnp.cos(ang)[:, None, None] * scale[:, None, None]
+    sin = jnp.sin(ang)[:, None, None] * scale[:, None, None]
+    gy = cos * (y - cy) + sin * (x - cx) + cy
+    gx = -sin * (y - cy) + cos * (x - cx) + cx
+    return gy, gx  # [B, CROP, CROP]
+
+
+def bilinear_2d(img, gy, gx):
+    y0 = jnp.floor(gy); x0 = jnp.floor(gx)
+    wy = (gy - y0)[None]; wx = (gx - x0)[None]
+
+    def tap(yy, xx):
+        yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        return img[:, yc, xc]
+
+    return (tap(y0, x0) * (1 - wy) * (1 - wx) + tap(y0, x0 + 1) * (1 - wy) * wx
+            + tap(y0 + 1, x0) * wy * (1 - wx) + tap(y0 + 1, x0 + 1) * wy * wx)
+
+
+def bilinear_flat(img, gy, gx):
+    y0 = jnp.floor(gy); x0 = jnp.floor(gx)
+    wy = (gy - y0)[None]; wx = (gx - x0)[None]
+    flat = img.reshape(T, H * W)
+
+    def tap(yy, xx):
+        yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        return flat[:, yc * W + xc]
+
+    return (tap(y0, x0) * (1 - wy) * (1 - wx) + tap(y0, x0 + 1) * (1 - wy) * wx
+            + tap(y0 + 1, x0) * wy * (1 - wx) + tap(y0 + 1, x0 + 1) * wy * wx)
+
+
+def bilinear_take(img, gy, gx):
+    y0 = jnp.floor(gy); x0 = jnp.floor(gx)
+    wy = (gy - y0)[None]; wx = (gx - x0)[None]
+    flat = img.reshape(T, H * W)
+
+    def tap(yy, xx):
+        yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        return jnp.take(flat, (yc * W + xc).reshape(-1), axis=-1
+                        ).reshape(T, CROP, CROP)
+
+    return (tap(y0, x0) * (1 - wy) * (1 - wx) + tap(y0, x0 + 1) * (1 - wy) * wx
+            + tap(y0 + 1, x0) * wy * (1 - wx) + tap(y0 + 1, x0 + 1) * wy * wx)
+
+
+def bilinear_matmul(img, gy, gx):
+    """Exact banded-matmul formulation.
+
+    out[t,y,x] = sum_h tri(h-gy[y,x]) * sum_w tri(w-gx[y,x]) * img[t,h,w]
+    computed per output row y:   Dx[t,h,x] = sum_w Bx[x,w] img[t,h,w]
+                                 out[t,y,x] = sum_h A[x,h] Dx[t,h,x]
+    """
+    hh = jnp.arange(H, dtype=jnp.float32)
+
+    def row(carry, inputs):
+        gy_r, gx_r = inputs          # [CROP]
+        bx = jnp.maximum(0.0, 1.0 - jnp.abs(hh[None, :] - gx_r[:, None]))
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(hh[None, :] - gy_r[:, None]))
+        d = jnp.einsum("xw,thw->thx", bx, img)       # [T,H,CROP]
+        out_r = jnp.einsum("xh,thx->tx", ay, d)      # [T,CROP]
+        return carry, out_r
+
+    _, rows = jax.lax.scan(row, None, (gy, gx))
+    return rows.transpose(1, 0, 2)   # [T,CROP,CROP]
+
+
+def bilinear_patch(img, gy, gx):
+    """ONE lax.gather of [2,2] patches (all 4 taps per index): per-index
+    overhead paid once instead of 4x. Starts clamp to H-2/W-2; the only
+    points whose taps shift under that clamp have tap weight exactly 0."""
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = (gy - y0)[None]
+    wx = (gx - x0)[None]
+    ys = jnp.clip(y0, 0, H - 2).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    starts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)  # [N,2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(1, 2))
+    patch = jax.lax.gather(img, starts, dn, slice_sizes=(T, 2, 2))
+    # [N, T, 2, 2] -> [T, CROP, CROP, 2, 2]
+    patch = patch.transpose(1, 0, 2, 3).reshape(T, CROP, CROP, 2, 2)
+    v00 = patch[..., 0, 0]
+    v01 = patch[..., 0, 1]
+    v10 = patch[..., 1, 0]
+    v11 = patch[..., 1, 1]
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(B, T, H, W)), jnp.float32)
+    gy, gx = jax.jit(make_coords)(jax.random.key(0))
+    gy = jnp.clip(gy, 0, H - 2)
+    gx = jnp.clip(gx, 0, W - 2)
+
+    fns = {
+        "flat": bilinear_flat,
+        "take": bilinear_take,
+        "patch": bilinear_patch,
+        "matmul": bilinear_matmul,
+    }
+    ref = None
+    for name, fn in fns.items():
+        batched = jax.jit(jax.vmap(fn))
+        out = batched(imgs, gy, gx)
+        jax.block_until_ready(out)
+        if ref is None:
+            ref = out
+        else:
+            err = float(jnp.max(jnp.abs(out - ref)))
+            if err > 1e-4:
+                name += f"!(err {err:.2e})"
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = batched(imgs, gy, gx)
+        float(out.sum())
+        print(f"{name:10s} {(time.perf_counter() - t0) / args.iters * 1e3:9.2f} ms"
+              f" for [B{B},T{T}] {H}²->{CROP}² bilinear warp")
+
+
+if __name__ == "__main__":
+    main()
