@@ -99,6 +99,15 @@ def main(cfg: TrainConfig) -> dict:
                                use_pk_maps=cfg.data.use_pk_maps)
     val_index = DatasetIndex(cfg.data.data_path, "val", seq_types,
                              use_pk_maps=cfg.data.use_pk_maps)
+    if len(train_index) == 0 and not cfg.test_only:
+        # Every patient was warn-and-skipped (missing sequences/masks, or
+        # --use-pk-maps with no pk_maps dirs — note PK generation reads
+        # SUB1..8 subtraction sequences only, ref:pk_fitting.py:625-662).
+        # Running 0-step epochs and reporting success would hide it.
+        raise SystemExit(
+            "error: the training index is empty after warn-and-skip — "
+            "check the warnings above (dataset layout / --use-pk-maps "
+            "without generated pk_maps).")
 
     mesh = None
     n_dev = len(jax.devices())

@@ -38,6 +38,8 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     if path == "":
         return None
     path = path or default_cache_dir()
+    if path == "":  # STF_UNET_COMPILE_CACHE="" disables too
+        return None
     if _ENABLED_DIR is not None:
         return _ENABLED_DIR
     try:

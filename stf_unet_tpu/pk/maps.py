@@ -178,9 +178,18 @@ def process_dataset(dataset_path: str, split: str = "training",
     patients = sorted(p for p in os.listdir(images_dir)
                       if os.path.isdir(os.path.join(images_dir, p)))
     print(f"found {len(patients)} patients")
+    done = 0
     for patient in patients:
-        process_patient(os.path.join(images_dir, patient), output_base, cfg,
-                        enhanced=enhanced, debug=debug)
+        maps = process_patient(os.path.join(images_dir, patient), output_base,
+                               cfg, enhanced=enhanced, debug=debug)
+        done += maps is not None
+    print(f"{split}: PK maps written for {done}/{len(patients)} patients")
+    if patients and done == 0:
+        # A silent all-skip (e.g. a tree with no SUB1..8 subtraction
+        # sequences — PK fitting reads those only, ref:pk_fitting.py:625-662)
+        # would later empty any --use-pk-maps dataset scan.
+        print(f"warning: no PK maps generated for split '{split}' — "
+              "PK fitting reads the SUB1..8 subtraction sequences")
 
 
 def generate_pk_maps_for_dataset(dataset_path: str,

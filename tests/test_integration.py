@@ -172,3 +172,11 @@ def test_device_prefetch_modes_identical(tiny_root):
                                          device_prefetch=dp)
         losses.append(loss)
     assert losses[0] == losses[1]
+
+
+def test_train_cli_empty_index_errors(tiny_root, tmp_path):
+    """--use-pk-maps with no pk_maps generated skips every patient; the
+    trainer must fail loudly instead of running 0-step epochs."""
+    from stf_unet_tpu.cli.train import run
+    with pytest.raises(SystemExit, match="training index is empty"):
+        run(_flags(tiny_root, str(tmp_path), extra=("--use-pk-maps", "true")))
