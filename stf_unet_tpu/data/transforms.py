@@ -294,12 +294,7 @@ class TrainAugment:
                 warped = warped_all[:img.shape[0]]
                 if pk_f is not None:
                     pk_w = warped_all[img.shape[0]:]
-                warped = (warped - self.cfg.mean) / self.cfg.std
                 tgt = near.astype(jnp.int32)
-                if pk_f is not None:
-                    pk_w = (pk_w - self.cfg.mean) / self.cfg.std
-                    warped = jnp.concatenate([warped, pk_w], axis=0)
-                return warped, tgt
             else:
                 # Reference-faithful quirk mode: every frame (and every PK
                 # map) re-rolls its own transform; the mask follows frame 0.
@@ -316,10 +311,10 @@ class TrainAugment:
                     )(pk_f, gys[img.shape[0]:], gxs[img.shape[0]:])
                     pk_w = warped_pk
                 gy, gx = gys[0], gxs[0]  # mask follows frame 0 (ref:173)
+                tgt = _nearest_gather(mask_i.astype(jnp.int32), gy, gx,
+                                      src_h, src_w, fill=0)
 
             warped = (warped - self.cfg.mean) / self.cfg.std
-            tgt = _nearest_gather(mask_i.astype(jnp.int32), gy, gx,
-                                  src_h, src_w, fill=0)
             if pk_f is not None:
                 pk_w = (pk_w - self.cfg.mean) / self.cfg.std
                 warped = jnp.concatenate([warped, pk_w], axis=0)

@@ -155,9 +155,15 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     monkeypatch.setattr(cache, "_ENABLED_DIR", None)
     assert cache.enable_compilation_cache("") is None
 
-    target = str(tmp_path / "xla_cache")
-    got = cache.enable_compilation_cache(target)
-    assert got == target and os.path.isdir(target)
-    assert jax.config.jax_compilation_cache_dir == target
-    # idempotent: a second call (even with another path) keeps the first
-    assert cache.enable_compilation_cache(str(tmp_path / "o")) == target
+    old_dir = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "xla_cache")
+        got = cache.enable_compilation_cache(target)
+        assert got == target and os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        # idempotent: a second call (even with another path) keeps the first
+        assert cache.enable_compilation_cache(str(tmp_path / "o")) == target
+    finally:
+        # jax.config is process-global: restore so later tests don't write
+        # cache entries into this test's tmp dir
+        jax.config.update("jax_compilation_cache_dir", old_dir)

@@ -109,20 +109,21 @@ def main():
         x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
         mb = np.prod(shape) * 2 / 1e6
         bound = mb / 819e3 * 1e3  # v5e ~819 GB/s
-        times = []
+        cells = []
         ref = None
         for name, fn in variants.items():
             ms = timeit(make_looped(fn), x, iters=args.iters)
             mu, mu2 = jax.device_get(jax.jit(fn)(x))
+            bad = ""
             if ref is None:
                 ref = (mu, mu2)
             else:
                 err = max(np.abs(mu - ref[0]).max(), np.abs(mu2 - ref[1]).max())
                 if err > 5e-2:
-                    name += "!"  # flag accuracy break
-            times.append(ms)
-        print(f"{str(shape):24s} {mb:7.1f} " +
-              " ".join(f"{t:9.3f}" for t in times) + f" {bound:9.3f}")
+                    bad = "!"  # accuracy break vs the flax reference
+            cells.append(f"{ms:8.3f}{bad or ' '}")
+        print(f"{str(shape):24s} {mb:7.1f} " + " ".join(cells)
+              + f" {bound:9.3f}")
 
 
 if __name__ == "__main__":

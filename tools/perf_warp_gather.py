@@ -3,8 +3,10 @@
 The fused device augmentation samples [B,T,256,256] frames at 224² warped
 coordinates (4 taps/pixel). XLA TPU point-gathers are slow; this harness
 compares:
-  2d      img[..., yc, xc]              (current)
-  flat    img.reshape(T,-1)[..., yc*W+xc]  (single minor-axis gather)
+  2d      img[..., yc, xc]   (the pre-r2 formulation; 3252 ms measured —
+          excluded by default, include with --with-2d)
+  flat    img.reshape(T,-1)[..., yc*W+xc]  (single minor-axis gather;
+          what data/transforms.py now does)
   take    jnp.take(flat, idx, axis=-1)
   matmul  exact row-banded two-stage contraction (per output row y:
           D_y = img @ Bx_y^T, out = sum_h A * D) — MXU formulation
@@ -131,6 +133,11 @@ def bilinear_patch(img, gy, gx):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--with-2d", action="store_true",
+                    help="include the (very slow) 2-axis point-gather row")
+    ap.add_argument("--with-patch", action="store_true",
+                    help="include the (catastrophic, ~59 s/call) [2,2] "
+                         "patch-gather row")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -140,9 +147,10 @@ def main():
     gx = jnp.clip(gx, 0, W - 2)
 
     fns = {
+        **({"2d": bilinear_2d} if args.with_2d else {}),
         "flat": bilinear_flat,
         "take": bilinear_take,
-        "patch": bilinear_patch,
+        **({"patch": bilinear_patch} if args.with_patch else {}),
         "matmul": bilinear_matmul,
     }
     ref = None

@@ -49,7 +49,9 @@ def main():
     x = jnp.asarray(rng.normal(size=(args.batch, 8, 224, 224, 1)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 2, (args.batch, 224, 224)), jnp.int32)
     policy = make_policy(amp)
-    cfg = ModelConfig(model=args.model, num_classes=2, time_steps=8)
+    # num_classes=1 -> 2-channel head: the SAME model bench.py and the
+    # production CLI build (total_classes = num_classes + 1)
+    cfg = ModelConfig(model=args.model, num_classes=1, time_steps=8)
     model = create_model(cfg, dtype=policy.compute_dtype if amp else None)
     sched = warmup_poly_schedule(1e-3, 100, 100)
     optim = make_optimizer(OptimConfig(), sched)
@@ -78,9 +80,16 @@ def main():
                   f"(compile {compile_s:.0f}s, loss {float(loss):.4f})")
         except Exception as e:  # noqa: BLE001 - report unknown-flag combos
             print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
+    if not results:
+        sys.exit("every config failed to compile/run")
     best = min(results, key=lambda r: r[1])
-    print(f"\nbest: {best[0]} at {best[1]:.2f} ms "
-          f"({results[0][1] / best[1]:.3f}x vs baseline)")
+    base = next((r for r in results if r[0] == "baseline"), None)
+    if base is None:
+        print(f"\nbest: {best[0]} at {best[1]:.2f} ms (baseline FAILED; "
+              "no ratio)")
+    else:
+        print(f"\nbest: {best[0]} at {best[1]:.2f} ms "
+              f"({base[1] / best[1]:.3f}x vs baseline)")
 
 
 if __name__ == "__main__":
