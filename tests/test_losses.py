@@ -105,3 +105,36 @@ def test_criterion_aux_head():
     lo = float(criterion({"out": logits}, target))
     la = float(criterion({"out": aux}, target))
     assert abs(combined - (lo + 0.5 * la)) < 1e-5
+
+
+def test_criterion_multiclass_vs_reference_impl():
+    """4-class criterion (CE + multiclass dice, ignore patches) against the
+    reference's own dice_coefficient_loss implementation — multiclass
+    coverage beyond the binary paths the other tests pin."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    path = "/root/reference/train_utils/dice_coefficient_loss.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout unavailable")
+    spec = importlib.util.spec_from_file_location("ref_dice", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    logits = RNG.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    target = RNG.integers(0, 4, size=(2, 8, 8))
+    target[:, :2, :] = 255  # ignore band
+
+    ours = float(criterion({"out": jnp.asarray(logits)},
+                           jnp.asarray(target), num_classes=4,
+                           ignore_index=255))
+
+    tl = torch.tensor(logits).permute(0, 3, 1, 2)
+    tt = torch.tensor(target)
+    ce = tF.cross_entropy(tl, tt, ignore_index=255)
+    dice_target = ref.build_target(tt, 4, ignore_index=255)
+    theirs = float(ce + ref.dice_loss(tl, dice_target, multiclass=True,
+                                      ignore_index=255))
+    assert abs(ours - theirs) < 1e-5

@@ -115,3 +115,20 @@ def test_stflstm_remat_matches_no_remat():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_models_multiclass_heads():
+    """--num-classes > 1 (reference flag) must produce matching head widths
+    on both model families."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.models import STFLSTMUNet, UNet
+
+    x = jnp.zeros((1, 4, 32, 32, 1), jnp.float32)
+    for m, inp in ((UNet(num_classes=4, base_c=4),
+                    x.reshape(1, 32, 32, 4)),
+                   (STFLSTMUNet(num_classes=4, time_steps=4), x)):
+        variables = m.init(jax.random.key(0), inp, train=False)
+        out = m.apply(variables, inp, train=False)["out"]
+        assert out.shape == (1, 32, 32, 4)
