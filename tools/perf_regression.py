@@ -1,0 +1,148 @@
+"""One-shot perf regression sweep: the framework's headline device numbers
+in a single run, appended as one JSONL row (with git rev) so rounds can be
+diffed. Uses the persistent compile cache — repeat runs skip the compiles.
+
+  python tools/perf_regression.py [--out perf_history.jsonl]
+
+Rows measured (all real-chip, warm, B=16 @ 224² T=8):
+  unet_f32_ms / unet_bf16_ms      pure train step (bench.py parity config)
+  stflstm_bf16_ms                 flagship pure train step
+  augment_ms                      device augmentation program alone
+  fused_unet_bf16_ms              augment+train in one program
+  pk_lm_chunk_ms                  16384-voxel LM solver chunk
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _sync(x):
+    # block_until_ready is unreliable over the axon tunnel; materialize.
+    import jax.numpy as jnp
+    float(jnp.sum(x if not isinstance(x, tuple) else x[0]))
+
+
+def timeit(fn, *args, iters=10, key_arg=False):
+    import jax
+    out = fn(jax.random.key(0), *args) if key_arg else fn(*args)
+    _sync(out if not isinstance(out, tuple) else out[0])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(jax.random.key(i), *args) if key_arg else fn(*args)
+    _sync(out if not isinstance(out, tuple) else out[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="JSONL history file to append to (default: print only)")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+    from stf_unet_tpu.core.dtypes import make_policy
+    from stf_unet_tpu.data.transforms import TrainAugment
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    B, T, CROP, SRC = 16, 8, 224, 256
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, CROP, CROP, 1)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (B, CROP, CROP)), jnp.int32)
+    frames = jnp.asarray(rng.integers(0, 255, (B, T, SRC, SRC)), jnp.uint8)
+    masks = jnp.asarray(rng.integers(0, 2, (B, SRC, SRC)), jnp.uint8)
+    sizes = jnp.asarray(np.full((B, 2), SRC), jnp.int32)
+
+    row = {}
+
+    def train_step_ms(model_name, amp):
+        policy = make_policy(amp)
+        cfg = ModelConfig(model=model_name, num_classes=1, time_steps=T)
+        model = create_model(cfg, dtype=policy.compute_dtype if amp else None)
+        sched = warmup_poly_schedule(1e-3, 100, 100)
+        optim = make_optimizer(OptimConfig(), sched)
+        box = {"s": create_train_state(jax.random.key(0), cfg, optim, x)}
+        step = make_train_step(model, optim, sched, cfg.total_classes)
+
+        def run():
+            # the step donates its state argument: rebind every call
+            box["s"], loss, _ = step(box["s"], x, y)
+            return loss
+        return timeit(run, iters=args.iters)
+
+    row["unet_f32_ms"] = round(train_step_ms("unet", False), 2)
+    row["unet_bf16_ms"] = round(train_step_ms("unet", True), 2)
+    row["stflstm_bf16_ms"] = round(train_step_ms("stflstm", True), 2)
+
+    aug = TrainAugment(DataConfig(base_size=SRC, crop_size=CROP))
+    row["augment_ms"] = round(timeit(
+        lambda k: aug(k, frames, masks, sizes), iters=args.iters,
+        key_arg=True), 2)
+
+    policy = make_policy(True)
+    cfg = ModelConfig(model="unet", num_classes=1, time_steps=T)
+    model = create_model(cfg, dtype=policy.compute_dtype)
+    sched = warmup_poly_schedule(1e-3, 100, 100)
+    optim = make_optimizer(OptimConfig(), sched)
+    sample = jnp.zeros((B, T, SRC, SRC, 1), jnp.float32)
+    box = {"s": create_train_state(jax.random.key(0), cfg, optim, sample)}
+    fused = make_train_step(model, optim, sched, cfg.total_classes,
+                            augment=aug)
+
+    def run_fused(k):
+        box["s"], loss, _ = fused(box["s"], k, frames, masks, sizes, None)
+        return loss
+    row["fused_unet_bf16_ms"] = round(timeit(run_fused, iters=args.iters,
+                                             key_arg=True), 2)
+
+    from stf_unet_tpu.core.config import PKConfig
+    from stf_unet_tpu.pk.aif import population_aif
+    from stf_unet_tpu.pk.fit import _lm_fit_chunk
+    from stf_unet_tpu.pk.tofts import ToftsQuadrature, extended_tofts_batch
+    pk_cfg = PKConfig()
+    quad = ToftsQuadrature.build(np.arange(T, dtype=np.float32) * 0.5,
+                                 population_aif, pk_cfg.dt)
+    true = np.stack([rng.uniform(0.05, 0.5, 16384),
+                     rng.uniform(0.1, 0.4, 16384),
+                     rng.uniform(0.01, 0.1, 16384)], 1).astype(np.float32)
+    curves = jnp.asarray(extended_tofts_batch(
+        quad, jnp.asarray(true[:, 0]), jnp.asarray(true[:, 1]),
+        jnp.asarray(true[:, 2])))
+    row["pk_lm_chunk_ms"] = round(timeit(
+        lambda: _lm_fit_chunk(curves, quad, pk_cfg), iters=5), 2)
+
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__)))).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    record = {"rev": rev, **row}
+    print(json.dumps(record))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+if __name__ == "__main__":
+    main()
