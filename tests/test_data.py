@@ -495,3 +495,29 @@ def test_fused_warp_matches_standalone_gathers():
     np.testing.assert_array_equal(np.asarray(bil), np.asarray(want_bil))
     np.testing.assert_array_equal(np.asarray(near).astype(np.int32),
                                   np.asarray(want_near))
+
+
+def test_fused_warp_bf16_raw_scale_exact():
+    """The shared augment path gathers RAW uint8-scale values in bf16
+    (integers 0..255 are bf16-exact, half the gathered bytes). The result
+    must be bit-identical to gathering the same raw values in f32."""
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.data.transforms import _warp_bilinear_and_nearest
+
+    rng = np.random.default_rng(3)
+    h = w = 40
+    raw = rng.integers(0, 256, (5, h, w)).astype(np.uint8)
+    mask = rng.integers(0, 2, (h, w)).astype(np.uint8) * 255
+    gy = jnp.asarray(rng.uniform(-2, h + 1, (16, 16)), jnp.float32)
+    gx = jnp.asarray(rng.uniform(-2, w + 1, (16, 16)), jnp.float32)
+    vh, vw = jnp.float32(h), jnp.float32(w)
+
+    bil16, near16 = _warp_bilinear_and_nearest(
+        jnp.asarray(raw, jnp.bfloat16), jnp.asarray(mask, jnp.bfloat16),
+        gy, gx, vh, vw)
+    bil32, near32 = _warp_bilinear_and_nearest(
+        jnp.asarray(raw, jnp.float32), jnp.asarray(mask, jnp.float32),
+        gy, gx, vh, vw)
+    np.testing.assert_array_equal(np.asarray(bil16), np.asarray(bil32))
+    np.testing.assert_array_equal(np.asarray(near16), np.asarray(near32))
