@@ -78,3 +78,44 @@ def test_metric_updates_under_sharding():
     sharded = np.asarray(update(t, p))
     local = np.asarray(update(jnp.asarray(tgt), jnp.asarray(pred)))
     np.testing.assert_array_equal(sharded, local)
+
+
+def test_train_one_epoch_under_mesh_with_device_prefetch(tmp_path):
+    """The epoch loop's background-thread transfer (_batch_to_device) must
+    run shard_batch correctly under a mesh: same loss with async (2) and
+    inline (0) transfers, valid sharded state out."""
+    from stf_unet_tpu.core.config import DataConfig
+    from stf_unet_tpu.core.prng import root_key
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.loader import HostLoader
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    from stf_unet_tpu.data.transforms import TrainAugment
+    from stf_unet_tpu.train.loop import train_one_epoch
+
+    root = make_synthetic_breadm(str(tmp_path / "t"), splits=("training",),
+                                 patients_per_split=1, slices_per_patient=8,
+                                 size=48)
+    data_cfg = DataConfig(base_size=40, crop_size=32)
+    idx = DatasetIndex(root, "train", data_cfg.resolved_sequence_types)
+    mesh = mesh_lib.create_mesh(8)
+    model_cfg = ModelConfig(model="unet", num_classes=1, base_c=4,
+                            time_steps=8)
+    model = create_model(model_cfg)
+    sched = warmup_poly_schedule(1e-3, 1, 1)
+    optim = make_optimizer(OptimConfig(), sched)
+    sample = jnp.zeros((8, 8, 64, 64, 1), jnp.float32)
+    augment = TrainAugment(data_cfg)
+    step = make_train_step(model, optim, sched, 2, augment=augment)
+    key = root_key(0)
+
+    losses = []
+    for dp in (0, 2):
+        loader = HostLoader(idx, 8, shuffle=True, seed=0, drop_last=True)
+        state = mesh_lib.replicate(
+            mesh, create_train_state(jax.random.key(0), model_cfg, optim,
+                                     sample))
+        state, loss, _ = train_one_epoch(state, step, loader, None, key, 0,
+                                         mesh=mesh, device_prefetch=dp)
+        losses.append(loss)
+        assert np.isfinite(loss)
+    assert losses[0] == losses[1]
