@@ -188,11 +188,13 @@ def main(cfg: TrainConfig) -> dict:
             with trace(cfg.profile_dir):
                 state, mean_loss, lr = train_one_epoch(
                     state, train_step, loader, None, key, epoch, mesh=mesh,
-                    print_freq=cfg.print_freq)
+                    print_freq=cfg.print_freq,
+                    device_prefetch=cfg.data.device_prefetch)
         else:
             state, mean_loss, lr = train_one_epoch(
                 state, train_step, loader, None, key, epoch, mesh=mesh,
-                print_freq=cfg.print_freq)
+                print_freq=cfg.print_freq,
+                device_prefetch=cfg.data.device_prefetch)
 
         metrics = evaluate(
             state, model,

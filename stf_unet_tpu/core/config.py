@@ -35,6 +35,9 @@ class DataConfig:
     std: float = 0.127
     # Loader behavior.
     prefetch: int = 2
+    # Background-thread host->device transfer depth for the train loop
+    # (train/loop.py:_batch_to_device); 0 transfers inline.
+    device_prefetch: int = 2
     # Deliberate divergence from the reference (ref:my_dataset.py:173-179):
     # the reference re-rolls the random transform per temporal frame; we use
     # one shared draw across all T frames of a sample (see SURVEY.md §7).

@@ -229,12 +229,15 @@ def compare_aif_for_dataset(dataset_path: str,
                                    "pk_aif_comparison")
         patients = sorted(p for p in os.listdir(images_dir)
                           if os.path.isdir(os.path.join(images_dir, p)))
+        print(f"{split}: AIF comparison over {len(patients)} patients")
         for patient in patients:
             frames = _load_patient_frames(os.path.join(images_dir, patient))
             if frames is None:
                 continue
             compare_aif_methods(frames, cfg,
                                 os.path.join(output_base, patient))
+            print(f"AIF comparison for {patient} -> "
+                  f"{os.path.join(output_base, patient)}")
         out[split] = output_base
     return out
 
