@@ -41,7 +41,24 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--output-dir", type=str, default="./output/test_results")
     p.add_argument("--use-subtraction", action="store_true")
     p.add_argument("--use-pk-maps", action="store_true")
-    p.add_argument("--num-classes", type=int, default=2)
+    # Architecture/data flags default to None = "recover from the
+    # checkpoint's saved training config" (meta.json sidecar), falling back
+    # to the reference defaults — so a checkpoint trained with any width /
+    # crop / class count tests out of the box.
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="TOTAL classes incl. background (ref default 2); "
+                        "default: from checkpoint config")
+    p.add_argument("--base-c", type=int, default=None,
+                   help="model width; default: from checkpoint config")
+    p.add_argument("--crop-size", type=int, default=None,
+                   help="eval short-edge size; default: from checkpoint "
+                        "config")
+    p.add_argument("--mask-format", type=str, default=None,
+                   choices=["binary", "index"],
+                   help="mask pixel encoding: binary (//255, reference "
+                        "parity) or index (pixels hold class indices — "
+                        "multiclass datasets); default: from checkpoint "
+                        "config")
     p.add_argument("--pred-mode", type=str, default="argmax",
                    choices=["argmax", "sigmoid"],
                    help="prediction semantics for saved overlays: argmax "
@@ -61,14 +78,51 @@ def predict_mask(logits: np.ndarray, mode: str = "argmax") -> np.ndarray:
 
 
 def test(args: argparse.Namespace) -> dict:
+    import json
+
+    from stf_unet_tpu.core import config as config_lib
     from stf_unet_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    ckpt = CheckpointManager(args.model_dir, args.model,
+                             "_pk" if args.use_pk_maps else "")
+    kind = "best" if ckpt.exists("best") else "latest"
+    if not ckpt.exists(kind):
+        raise FileNotFoundError(
+            f"{args.model}_best_model not found in {args.model_dir}")
+
+    # Recover the training config from the checkpoint sidecar so
+    # architecture-affecting values (width, classes, crop, mask encoding)
+    # default to what the checkpoint was trained with; explicit flags win.
+    saved = None
+    meta_cfg = ckpt.read_meta(kind).get("config")
+    if meta_cfg:
+        try:
+            saved = config_lib.config_from_dict(config_lib.TrainConfig,
+                                                json.loads(meta_cfg))
+        except Exception as e:  # malformed sidecar: fall back to defaults
+            print(f"note: unreadable checkpoint config ({e})")
+    num_classes = args.num_classes if args.num_classes is not None else (
+        saved.model.total_classes if saved else 2)
+    base_c = args.base_c if args.base_c is not None else (
+        saved.model.base_c if saved else ModelConfig.base_c)
+    crop_size = args.crop_size if args.crop_size is not None else (
+        saved.data.crop_size if saved else DataConfig.crop_size)
+    mask_format = args.mask_format if args.mask_format is not None else (
+        saved.data.mask_format if saved else "binary")
+
     data_cfg = DataConfig(data_path=args.root,
                           use_subtraction=args.use_subtraction,
-                          use_pk_maps=args.use_pk_maps)
+                          use_pk_maps=args.use_pk_maps,
+                          crop_size=crop_size,
+                          mask_format=mask_format,
+                          **({"base_size": saved.data.base_size,
+                              "mean": saved.data.mean,
+                              "std": saved.data.std} if saved else {}))
     seq_types = data_cfg.resolved_sequence_types
     model_cfg = ModelConfig(model=args.model,
-                            num_classes=args.num_classes - 1,
+                            num_classes=num_classes - 1,
+                            base_c=base_c,
                             time_steps=len(seq_types),
                             use_pk_maps=args.use_pk_maps)
     model = create_model(model_cfg)
@@ -80,12 +134,6 @@ def test(args: argparse.Namespace) -> dict:
     sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
     state = create_train_state(jax.random.key(0), model_cfg, optim, sample)
 
-    ckpt = CheckpointManager(args.model_dir, args.model,
-                             "_pk" if args.use_pk_maps else "")
-    kind = "best" if ckpt.exists("best") else "latest"
-    if not ckpt.exists(kind):
-        raise FileNotFoundError(
-            f"{args.model}_best_model not found in {args.model_dir}")
     state, _ = ckpt.restore(kind, state)
     print(f"model_path: {ckpt._path(kind)}")
 
@@ -97,7 +145,7 @@ def test(args: argparse.Namespace) -> dict:
         state, model,
         eval_batches_from_index(test_index, data_cfg,
                                 use_pk_maps=args.use_pk_maps),
-        args.num_classes, collect_outputs=True)
+        num_classes, collect_outputs=True, data_cfg=data_cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)
     for idx, (logits, (image, _)) in enumerate(zip(

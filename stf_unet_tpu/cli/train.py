@@ -126,7 +126,8 @@ def main(cfg: TrainConfig) -> dict:
                         use_pk_maps=cfg.data.use_pk_maps,
                         drop_last=mesh is not None,
                         prefetch=cfg.data.prefetch,
-                        host_index=host_index, num_hosts=num_hosts)
+                        host_index=host_index, num_hosts=num_hosts,
+                        mask_format=cfg.data.mask_format)
     augment = TrainAugment(cfg.data)
 
     policy = make_policy(cfg.amp)
@@ -196,12 +197,20 @@ def main(cfg: TrainConfig) -> dict:
                 print_freq=cfg.print_freq,
                 device_prefetch=cfg.data.device_prefetch)
 
+        # Multi-host: each process evaluates its shard of the val set and
+        # the final accumulators all-reduce (the reference's
+        # reduce_from_all_processes) — N hosts make the val epoch ~N× faster
+        # with identical global metrics. The post-training test-set pass
+        # below stays unsharded so the main process renders every sample.
         metrics = evaluate(
             state, model,
             eval_batches_from_index(val_index, cfg.data,
                                     use_pk_maps=cfg.data.use_pk_maps,
-                                    batch_size=cfg.eval_batch_size),
-            num_classes)
+                                    batch_size=cfg.eval_batch_size,
+                                    host_index=host_index,
+                                    num_hosts=num_hosts),
+            num_classes, data_cfg=cfg.data,
+            reduce_across_processes=num_hosts > 1)
         dice = metrics["dice"]
         print(metrics["confusion_str"])
         print(f"Dice coefficient: {dice:.4f}")
@@ -230,21 +239,23 @@ def main(cfg: TrainConfig) -> dict:
 
         # Saves are queued to a background worker (device->host fetch +
         # Orbax write overlap the next epoch's compute); ckpt.restore/wait
-        # below drain the queue before the state is read back.
+        # below drain the queue before the state is read back. EVERY
+        # process calls save (orbax's save runs cross-process barriers and
+        # writes each array exactly once, from the primary host — a
+        # main-only save would deadlock a multi-host run).
         if cfg.save_best:
-            if is_main:
-                ckpt.save_async("latest", state, epoch=epoch,
-                                best_dice=best_dice, config_json=cfg_json,
-                                seed=cfg.seed)
+            ckpt.save_async("latest", state, epoch=epoch,
+                            best_dice=best_dice, config_json=cfg_json,
+                            seed=cfg.seed)
             if best_dice < dice:
+                ckpt.save_async("best", state, epoch=epoch,
+                                best_dice=dice, config_json=cfg_json,
+                                seed=cfg.seed)
                 if is_main:
-                    ckpt.save_async("best", state, epoch=epoch,
-                                    best_dice=dice, config_json=cfg_json,
-                                    seed=cfg.seed)
                     print(f"New best model saved at epoch {epoch}, "
                           f"Dice = {dice:.4f}")
                 best_dice = dice
-        elif is_main:
+        else:
             ckpt.save_async(f"epoch{epoch}", state, epoch=epoch,
                             best_dice=best_dice, config_json=cfg_json,
                             seed=cfg.seed)
@@ -253,8 +264,14 @@ def main(cfg: TrainConfig) -> dict:
             print(f"Early stopping at epoch {epoch + 1}")
             break
 
-    if is_main:
-        ckpt.wait()  # drain queued saves before reading checkpoints back
+    ckpt.wait()  # drain queued saves before reading checkpoints back
+    if num_hosts > 1:
+        # Barrier: no process may fall through to the best-checkpoint
+        # exists/restore below while another's background writes are still
+        # in flight (async saves widen that race from milliseconds to
+        # whole epochs).
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ckpt_drain")
     total_time = time.time() - start_time
     print(f"Training time {datetime.timedelta(seconds=int(total_time))}")
 
@@ -275,7 +292,7 @@ def main(cfg: TrainConfig) -> dict:
         state, model,
         eval_batches_from_index(test_index, cfg.data,
                                 use_pk_maps=cfg.data.use_pk_maps),
-        num_classes, collect_outputs=True)
+        num_classes, collect_outputs=True, data_cfg=cfg.data)
 
     for idx, (logits, (image, target)) in enumerate(zip(
             test_metrics["outputs"] if is_main else [],

@@ -120,9 +120,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         image_j = jnp.asarray(image)
         shape = tuple(image_j.shape)
         if shape not in fwd_cache:
-            fwd_cache[shape] = jax.jit(
-                lambda v, x: model.apply(v, preprocess_input(x, model),
-                                         train=False)["out"])
+            mean, std = data_cfg.mean, data_cfg.std
+
+            def _fwd(v, x):
+                # Transfer-lean eval batches arrive as raw uint8; normalize
+                # on device (same f32 expression as host eval_preprocess).
+                if x.dtype == jnp.uint8:
+                    x = (x.astype(jnp.float32) / 255.0 - mean) / std
+                return model.apply(v, preprocess_input(x, model),
+                                   train=False)["out"]
+
+            fwd_cache[shape] = jax.jit(_fwd)
             fwd_cache[shape](variables, image_j).block_until_ready()  # compile
         fwd = fwd_cache[shape]
         t0 = time.perf_counter()

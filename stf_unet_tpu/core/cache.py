@@ -31,17 +31,29 @@ def default_cache_dir() -> str:
 
 def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     """Point JAX's persistent compilation cache at `path` (created if
-    needed). Idempotent; returns the directory, or None if disabled via
-    an empty path / unwritable filesystem (never fatal — the cache is an
-    optimization, not a requirement)."""
+    needed). Returns the directory, or None if disabled via an empty path /
+    unwritable filesystem (never fatal — the cache is an optimization, not
+    a requirement).
+
+    Idempotent for the default path, but an EXPLICIT request wins over an
+    earlier enable: several entry points (cli/pipeline main, bench) enable
+    the default dir before the train config is parsed, and a later
+    `--compile-cache-dir <dir>` (or "" to disable) must still take effect —
+    first-call-wins would silently ignore the user's flag."""
     global _ENABLED_DIR
-    if path == "":
-        return None
-    path = path or default_cache_dir()
-    if path == "":  # STF_UNET_COMPILE_CACHE="" disables too
+    explicit = path is not None
+    if path is None:
+        path = default_cache_dir()
+    if path == "":  # explicit "" / STF_UNET_COMPILE_CACHE="" disables
+        if _ENABLED_DIR is not None:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", None)
+            _ENABLED_DIR = None
         return None
     if _ENABLED_DIR is not None:
-        return _ENABLED_DIR
+        if _ENABLED_DIR == path or not explicit:
+            return _ENABLED_DIR
+        # explicit different dir: fall through and re-point the config
     try:
         os.makedirs(path, exist_ok=True)
         import jax

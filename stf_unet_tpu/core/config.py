@@ -33,6 +33,12 @@ class DataConfig:
     # Dataset statistics computed offline (ref:train.py:146-148).
     mean: float = 0.709
     std: float = 0.127
+    # Mask pixel encoding: "binary" = //255 like the reference
+    # (ref:my_dataset.py:166-168 — tumor stored as 255); "index" = pixels
+    # already hold class indices 0..num_classes (the multiclass extension
+    # the reference's --num-classes flag implies but its /255 dataset
+    # cannot feed).
+    mask_format: str = "binary"
     # Loader behavior.
     prefetch: int = 2
     # Background-thread host->device transfer depth for the train loop

@@ -82,16 +82,21 @@ def _decode_grayscale(path: str) -> np.ndarray:
         return np.asarray(img.convert("L"), dtype=np.uint8)
 
 
-def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False
+def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False,
+                    mask_format: str = "binary"
                     ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """-> (frames uint8 [T, H, W], mask uint8 [H, W] in {0,1}, pk [3, H, W]).
 
-    Mask is /255-binarized like the reference (ref:166-168). Missing or
-    unreadable PK maps zero-fill (ref:206-224).
+    mask_format="binary": /255-binarized like the reference (ref:166-168);
+    "index": mask pixels already hold class indices (multiclass datasets).
+    Missing or unreadable PK maps zero-fill (ref:206-224).
     """
     frames = np.stack([_decode_grayscale(p) for p in rec.image_paths])
     with Image.open(rec.mask_path) as m:
-        mask = (np.asarray(m.convert("L"), dtype=np.uint16) // 255).astype(np.uint8)
+        mask = np.asarray(m.convert("L"), dtype=np.uint16)
+        if mask_format == "binary":
+            mask = mask // 255
+        mask = mask.astype(np.uint8)
 
     pk = None
     if use_pk_maps:
@@ -111,7 +116,8 @@ def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False
     return frames, mask, pk
 
 
-def load_sample_raw_native(rec: SampleRecord, use_pk_maps: bool = False
+def load_sample_raw_native(rec: SampleRecord, use_pk_maps: bool = False,
+                           mask_format: str = "binary"
                            ) -> Tuple[np.ndarray, np.ndarray,
                                       Optional[np.ndarray]]:
     """load_sample_raw via the native C++ decoder (same contract). Decodes
@@ -121,17 +127,21 @@ def load_sample_raw_native(rec: SampleRecord, use_pk_maps: bool = False
     from stf_unet_tpu.data import native_loader
 
     if not native_loader.native_available():
-        return load_sample_raw(rec, use_pk_maps)
+        return load_sample_raw(rec, use_pk_maps, mask_format)
     size = native_loader.image_size(rec.image_paths[0])
     if size is None:
-        return load_sample_raw(rec, use_pk_maps)
+        return load_sample_raw(rec, use_pk_maps, mask_format)
     h, w = size
     paths = list(rec.image_paths) + [rec.mask_path]
     canvas, sizes = native_loader.decode_batch(paths, h, w, fill=0)
     if not all(tuple(sz) == (h, w) for sz in sizes):
-        return load_sample_raw(rec, use_pk_maps)  # mixed sizes / bad file
+        # mixed sizes / bad file
+        return load_sample_raw(rec, use_pk_maps, mask_format)
     frames = canvas[:-1]
-    mask = (canvas[-1] // 255).astype(np.uint8)
+    mask = canvas[-1]
+    if mask_format == "binary":
+        mask = mask // 255
+    mask = mask.astype(np.uint8)
 
     pk = None
     if use_pk_maps:
@@ -187,12 +197,13 @@ class HostLoader:
                  drop_last: bool = False, canvas_multiple: int = 32,
                  prefetch: int = 2, use_native: Optional[bool] = None,
                  host_index: int = 0, num_hosts: int = 1,
-                 fixed_canvas: bool = True):
+                 fixed_canvas: bool = True, mask_format: str = "binary"):
         self.index = index
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.use_pk_maps = use_pk_maps
+        self.mask_format = mask_format
         self.drop_last = drop_last
         self.canvas_multiple = canvas_multiple
         self.prefetch = prefetch
@@ -236,7 +247,8 @@ class HostLoader:
     def _make_batch(self, recs: List[SampleRecord]) -> Batch:
         if self.use_native:
             return self._make_batch_native(recs)
-        samples = [load_sample_raw(r, self.use_pk_maps) for r in recs]
+        samples = [load_sample_raw(r, self.use_pk_maps, self.mask_format)
+                   for r in recs]
         sizes = np.asarray([s[0].shape[1:] for s in samples], dtype=np.int32)
         if self.canvas is not None:
             ch, cw = self.canvas
@@ -277,10 +289,13 @@ class HostLoader:
         masks = np.full((b, ch, cw), 255, dtype=np.uint8)
         for i in range(b):
             h, w = msizes[i]
-            # floor-div /255 binarization exactly like the PIL path and the
-            # reference (ref:my_dataset.py:166-168: only 255 -> 1);
-            # padding stays 255
-            masks[i, :h, :w] = mask_canvas[i, :h, :w] // 255
+            # "binary": floor-div /255 binarization exactly like the PIL
+            # path and the reference (ref:my_dataset.py:166-168: only
+            # 255 -> 1); "index": raw class indices. Padding stays 255.
+            if self.mask_format == "binary":
+                masks[i, :h, :w] = mask_canvas[i, :h, :w] // 255
+            else:
+                masks[i, :h, :w] = mask_canvas[i, :h, :w]
 
         pk = None
         if self.use_pk_maps:

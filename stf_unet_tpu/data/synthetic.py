@@ -22,7 +22,13 @@ def make_synthetic_breadm(root: str, *, splits: Sequence[str] = ("training", "va
                           size: int = 96, time_steps: int = 8,
                           sequence_prefix: str = "VIBRANT+C",
                           with_pk_maps: bool = False,
+                          mask_classes: int = 1,
                           seed: int = 0) -> str:
+    """mask_classes=1 writes reference-style binary masks (tumor=255,
+    consumed via //255). mask_classes>1 writes INDEX masks: concentric
+    radial bands of the tumor ellipse hold class indices 1..mask_classes
+    (core = highest class), for driving the num_classes>1 flow end-to-end
+    with DataConfig(mask_format="index")."""
     rng = np.random.default_rng(seed)
     seqs = [f"{sequence_prefix}{i}" for i in range(1, time_steps + 1)]
     for split in splits:
@@ -59,8 +65,17 @@ def make_synthetic_breadm(root: str, *, splits: Sequence[str] = ("training", "va
 
                 mask_dir = os.path.join(base, "labels", patient, seqs[0])
                 os.makedirs(mask_dir, exist_ok=True)
-                Image.fromarray((tumor * 255).astype(np.uint8)).save(
-                    os.path.join(mask_dir, name))
+                if mask_classes > 1:
+                    # Concentric class bands: normalized ellipse radius r in
+                    # [0,1] maps outer->inner to classes 1..mask_classes.
+                    r2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+                    band = np.ceil((1.0 - np.sqrt(np.clip(r2, 0.0, 1.0)))
+                                   * mask_classes)
+                    mask = np.where(tumor, np.clip(band, 1, mask_classes),
+                                    0).astype(np.uint8)
+                else:
+                    mask = (tumor * 255).astype(np.uint8)
+                Image.fromarray(mask).save(os.path.join(mask_dir, name))
 
             if with_pk_maps:
                 pk_dir = os.path.join(base, "pk_maps", patient)

@@ -345,12 +345,20 @@ class TrainAugment:
 # ---------------------------------------------------------------------------
 
 def eval_preprocess(frames: np.ndarray, mask: np.ndarray, cfg: DataConfig,
-                    pk: Optional[np.ndarray] = None
-                    ) -> Tuple[np.ndarray, np.ndarray]:
+                    pk: Optional[np.ndarray] = None, *,
+                    raw: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side eval transform for ONE sample: PIL-parity short-edge resize
     to crop_size (ref:train.py:70-74) + normalize.
 
     frames uint8 [T, H, W] -> ([T(+3), h', w', 1] float32, [h', w'] int32).
+
+    raw=True keeps the SAME resize but skips normalization and returns
+    uint8 images + uint8 mask: normalization then runs on device inside
+    the jitted eval step (train/loop), so the host->device transfer ships
+    4x fewer bytes — the val-epoch bottleneck on slow host links is the
+    f32 transfer, not compute (PERFORMANCE.md "eval path"). The device
+    computes the identical f32 expression (x/255 - mean)/std, so metrics
+    are unchanged (pinned by tests/test_eval_batching.py).
     """
     t, h, w = frames.shape
     out_h, out_w = short_edge_size(h, w, cfg.crop_size)
@@ -369,15 +377,20 @@ def eval_preprocess(frames: np.ndarray, mask: np.ndarray, cfg: DataConfig,
         return np.clip(np.round(y), 0, 255).astype(np.uint8)
 
     frames_r = pil_resize_u8(frames)
-    imgs = (frames_r.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
 
     from stf_unet_tpu.ops.resize import _nearest_indices
     rows = _nearest_indices(h, out_h)
     cols = _nearest_indices(w, out_w)
-    mask_r = mask[rows][:, cols].astype(np.int32)
+    mask_r = mask[rows][:, cols]
 
-    if pk is not None:
-        pk_r = pil_resize_u8(pk)
+    pk_r = pil_resize_u8(pk) if pk is not None else None
+    if raw:
+        imgs = (frames_r if pk_r is None
+                else np.concatenate([frames_r, pk_r], axis=0))
+        return imgs[..., None], mask_r.astype(np.uint8)
+
+    imgs = (frames_r.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
+    if pk_r is not None:
         pk_n = (pk_r.astype(np.float32) / 255.0 - cfg.mean) / cfg.std
         imgs = np.concatenate([imgs, pk_n], axis=0)
-    return imgs[..., None], mask_r
+    return imgs[..., None], mask_r.astype(np.int32)

@@ -20,6 +20,14 @@ def confusion_init(num_classes: int) -> jax.Array:
     return jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
 
 
+# f32 one-hot contraction counts are exact only while a single matmul's
+# per-cell count stays below 2^24 (f32 integer-exactness bound); chunk the
+# pixel axis below this so e.g. batch-16 eval at 1024^2 (16.8M px) cannot
+# silently lose counts. The pixel count is static under jit, so chunking
+# is a trace-time decision with zero cost for normal shapes.
+_EXACT_F32_PIXELS = 1 << 23
+
+
 def confusion_update(mat: jax.Array, target: jax.Array, pred: jax.Array) -> jax.Array:
     """mat += bincount(n*a + b) over pixels with 0 <= a < n (ref:30-39).
 
@@ -29,18 +37,26 @@ def confusion_update(mat: jax.Array, target: jax.Array, pred: jax.Array) -> jax.
     scatters lower to the same catastrophic TPU path as gathers (the CE
     take_along_axis measured 11.8 ms/step before its one-hot rewrite),
     while [P, n]^T @ [P, n] rides the MXU. f32 partial counts are exact
-    (per-update pixel count << 2^24); accumulation stays int32.
+    per chunk (pixel count bounded < 2^24 by _EXACT_F32_PIXELS chunking);
+    accumulation between chunks stays int32.
     """
     n = mat.shape[0]
     a = target.reshape(-1)
     b = pred.reshape(-1)
-    valid = (a >= 0) & (a < n)
-    oh_a = jax.nn.one_hot(jnp.where(valid, a, 0), n, dtype=jnp.float32)
-    oh_a = oh_a * valid[:, None].astype(jnp.float32)
-    oh_b = jax.nn.one_hot(b, n, dtype=jnp.float32)  # OOB pred -> zero row
-    counts = jnp.einsum("pc,pd->cd", oh_a, oh_b,
-                        preferred_element_type=jnp.float32)
-    return mat + jnp.round(counts).astype(mat.dtype)
+
+    def one_chunk(a_c, b_c):
+        valid = (a_c >= 0) & (a_c < n)
+        oh_a = jax.nn.one_hot(jnp.where(valid, a_c, 0), n, dtype=jnp.float32)
+        oh_a = oh_a * valid[:, None].astype(jnp.float32)
+        oh_b = jax.nn.one_hot(b_c, n, dtype=jnp.float32)  # OOB pred -> zero row
+        counts = jnp.einsum("pc,pd->cd", oh_a, oh_b,
+                            preferred_element_type=jnp.float32)
+        return jnp.round(counts).astype(mat.dtype)
+
+    for start in range(0, max(a.shape[0], 1), _EXACT_F32_PIXELS):
+        mat = mat + one_chunk(a[start:start + _EXACT_F32_PIXELS],
+                              b[start:start + _EXACT_F32_PIXELS])
+    return mat
 
 
 def confusion_compute(mat: jax.Array):

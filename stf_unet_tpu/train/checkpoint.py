@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 from concurrent.futures import Future, ThreadPoolExecutor
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,13 @@ def _snapshot(tree):
 
 
 class CheckpointManager:
+    # Backpressure cap: each queued save pins a full on-device state
+    # snapshot in HBM, so if fetch+write run slower than epochs the
+    # snapshots would otherwise accumulate without bound. save_async blocks
+    # on the oldest save once this many are outstanding (2 = the normal
+    # latest+best pair from one epoch).
+    MAX_PENDING = 2
+
     def __init__(self, save_dir: str, model_name: str, tag_suffix: str = ""):
         self.save_dir = os.path.abspath(save_dir)
         self.model_name = model_name.lower()
@@ -75,18 +82,47 @@ class CheckpointManager:
         computes. The fetch is the dominant cost (e.g. ~330 MB of flagship
         state over a slow host link), so overlapping it is worth one
         transient state copy in HBM. Call `wait()` before restoring or
-        exiting."""
+        exiting.
+
+        Fails fast: a write error from an earlier queued save (disk full,
+        bad save_dir) re-raises HERE rather than epochs later at the final
+        wait()/restore — otherwise training would continue with nothing
+        persisted. Also applies backpressure: blocks on the oldest pending
+        save once MAX_PENDING are outstanding, bounding the number of HBM
+        snapshots pinned by the queue."""
+        self._reap(block_until=self.MAX_PENDING - 1)
         path = self._path(kind)
         snap = _snapshot(self._tree(state))
         self._pending.append(self._pool.submit(
             self._write, path, snap, epoch, best_dice, config_json, seed))
         return path
 
+    def _reap(self, block_until: Optional[int] = None) -> None:
+        """Consume finished futures (and, if block_until is given, block on
+        the oldest until at most that many remain). EVERY consumed future's
+        exception is observed; the first one re-raises after all targeted
+        futures are consumed, so no failure is silently abandoned."""
+        errors: List[BaseException] = []
+        remaining: List[Future] = []
+        for i, fut in enumerate(self._pending):
+            n_left = len(self._pending) - i
+            must_block = (block_until is not None
+                          and len(remaining) + n_left > block_until)
+            if fut.done() or must_block:
+                try:
+                    fut.result()
+                except BaseException as e:  # noqa: BLE001 - re-raised below
+                    errors.append(e)
+            else:
+                remaining.append(fut)
+        self._pending = remaining
+        if errors:
+            raise errors[0]
+
     def wait(self) -> None:
-        """Drain queued async saves, re-raising the first failure."""
-        pending, self._pending = self._pending, []
-        for fut in pending:
-            fut.result()
+        """Drain ALL queued async saves; observes every failure and
+        re-raises the first."""
+        self._reap(block_until=0)
 
     @staticmethod
     def _tree(state: TrainState) -> Dict[str, Any]:
@@ -100,10 +136,15 @@ class CheckpointManager:
     def _write(self, path: str, tree: Dict[str, Any], epoch: int,
                best_dice: float, config_json: str, seed: int) -> None:
         tree = jax.device_get(tree)
+        # Multi-process: EVERY process must call save with the same tree —
+        # orbax's Checkpointer.save runs cross-process barriers internally
+        # (a main-only save deadlocks), and its type handlers write each
+        # array once (primary host) — but the JSON sidecar is ours to gate.
         self._ckptr.save(path, tree, force=True)
-        with open(os.path.join(path, META_NAME), "w") as f:
-            json.dump({"epoch": epoch, "best_dice": best_dice,
-                       "config": config_json, "seed": seed}, f)
+        if jax.process_index() == 0:
+            with open(os.path.join(path, META_NAME), "w") as f:
+                json.dump({"epoch": epoch, "best_dice": best_dice,
+                           "config": config_json, "seed": seed}, f)
 
     def restore(self, kind_or_path: str, template: TrainState
                 ) -> tuple[TrainState, Dict[str, Any]]:
@@ -131,3 +172,17 @@ class CheckpointManager:
 
     def exists(self, kind: str) -> bool:
         return os.path.exists(self._path(kind))
+
+    def read_meta(self, kind_or_path: str) -> Dict[str, Any]:
+        """The JSON sidecar {epoch, best_dice, config, seed} without
+        restoring the tree — lets CLIs recover the training config (model
+        width, crop size, ...) from a checkpoint before building the
+        restore template."""
+        path = kind_or_path
+        if not os.path.isabs(path) and not os.path.exists(path):
+            path = self._path(kind_or_path)
+        meta_path = os.path.join(path, META_NAME)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
+        return {}

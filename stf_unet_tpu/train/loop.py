@@ -135,20 +135,40 @@ def train_one_epoch(state: TrainState, train_step: Callable,
 class _EvalStepCache:
     """Per-input-shape compiled eval steps. DCE-MRI datasets have a handful
     of slice geometries, so exact-shape compilation beats padding (which
-    would perturb predictions near the pad boundary vs the reference)."""
+    would perturb predictions near the pad boundary vs the reference).
 
-    def __init__(self, model, num_classes: int):
+    uint8 inputs (the transfer-lean eval path, eval_preprocess(raw=True))
+    are normalized ON DEVICE inside the same compiled program — the host
+    then ships 1 byte/pixel instead of 4 over the host->device link, which
+    bounds val-epoch throughput on slow links (PERFORMANCE.md)."""
+
+    def __init__(self, model, num_classes: int, mean: Optional[float] = None,
+                 std: Optional[float] = None):
         self.model = model
         self.num_classes = num_classes
-        self._fns: Dict[Tuple[int, ...], Callable] = {}
+        self.mean = mean
+        self.std = std
+        self._fns: Dict[Tuple, Callable] = {}
 
     def __call__(self, variables, image, target, conf, dice_cum, dice_count):
-        key = tuple(image.shape)
+        key = (tuple(image.shape), str(image.dtype))
         if key not in self._fns:
             model = self.model
+            is_raw = image.dtype == jnp.uint8
+            mean, std = self.mean, self.std
+            if is_raw and (mean is None or std is None):
+                raise ValueError(
+                    "evaluate() received raw uint8 eval batches but no "
+                    "data_cfg: pass data_cfg=DataConfig(...) so the device "
+                    "step can normalize, or preprocess with raw=False.")
 
             @jax.jit
             def eval_step(variables, image, target, conf, dice_cum, dice_count):
+                if is_raw:
+                    # Same f32 expression the host path computes
+                    # (transforms.eval_preprocess): metrics are identical.
+                    image = (image.astype(jnp.float32) / 255.0 - mean) / std
+                    target = target.astype(jnp.int32)
                 x = preprocess_input(image, model)
                 logits = model.apply(variables, x, train=False)["out"]
                 conf = confusion_update(conf, target, jnp.argmax(logits, axis=-1))
@@ -161,22 +181,39 @@ class _EvalStepCache:
 
 
 def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
-             print_freq: int = 100, collect_outputs: bool = False
+             print_freq: int = 100, collect_outputs: bool = False,
+             data_cfg=None, reduce_across_processes: bool = False
              ) -> Dict[str, Any]:
     """Validation/test pass (ref:train_and_eval.py:316-374).
 
-    `eval_batches` yields (image [B,T,h,w,1] float32, target [B,h,w] int32)
-    numpy/JAX arrays (already eval-preprocessed). Returns the reference's
-    result dict {dice, confusion_matrix, global_accuracy, class_metrics,
-    mean_metrics}; with collect_outputs also "outputs" (per-batch logits)
-    and "batches" (the consumed (image, target) pairs, so callers rendering
-    artifacts don't re-decode the dataset).
+    `eval_batches` yields (image [B,T,h,w,1], target [B,h,w]) numpy/JAX
+    arrays — either float32 already-normalized images with int32 targets,
+    or (the transfer-lean default of eval_batches_from_index) raw uint8
+    images + uint8 targets, which the jitted eval step normalizes on
+    device; the latter requires `data_cfg` for the mean/std. Returns the
+    reference's result dict {dice, confusion_matrix, global_accuracy,
+    class_metrics, mean_metrics}; with collect_outputs also "outputs"
+    (per-batch logits) and "batches" (the consumed (image, target) pairs,
+    so callers rendering artifacts don't re-decode the dataset — note the
+    images are raw uint8 scale on the transfer-lean path; both viz helpers
+    min-max normalize, so renders are identical).
+
+    reduce_across_processes=True all-reduces the final confusion/dice
+    accumulators over jax processes (the reference's
+    reduce_from_all_processes, ref:train_and_eval.py:51-57,125-132): use it
+    when each host evaluated only its shard of the dataset
+    (eval_batches_from_index(host_index=..., num_hosts=...)) — every
+    process then returns the same GLOBAL metrics. Leave False when every
+    process saw the full set (each already has global metrics).
     """
     variables = state.variables()
     conf = confusion_init(num_classes)
     dice_cum = jnp.zeros((num_classes,), jnp.float32)
     dice_count = jnp.zeros((), jnp.int32)
-    stepper = _EvalStepCache(model, num_classes)
+    stepper = _EvalStepCache(
+        model, num_classes,
+        mean=None if data_cfg is None else data_cfg.mean,
+        std=None if data_cfg is None else data_cfg.std)
     logger = MetricLogger(delimiter="  ")
     outputs = []
     batches = []
@@ -191,6 +228,11 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
         if collect_outputs:
             outputs.append(np.asarray(logits))
             batches.append((np.asarray(image), np.asarray(target)))
+    if reduce_across_processes and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        conf = multihost_utils.process_allgather(conf).sum(axis=0)
+        dice_cum = multihost_utils.process_allgather(dice_cum).sum(axis=0)
+        dice_count = multihost_utils.process_allgather(dice_count).sum(axis=0)
     mat = np.asarray(conf)
     report = confusion_report(mat)
     return {
@@ -206,9 +248,16 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
 
 def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
                             batch_size: int = 1, prefetch: int = 2,
-                            bucket_by_shape: bool = True):
+                            bucket_by_shape: bool = True, raw: bool = True,
+                            host_index: int = 0, num_hosts: int = 1):
     """Generator of eval-preprocessed (image, target) batches from a
     DatasetIndex (val/test loaders use batch_size=1, ref:train.py:206-211).
+
+    raw=True (default) yields uint8 images/targets — the PIL-parity resize
+    still runs on the host, but normalization moves into the jitted eval
+    step (4x fewer transferred bytes; identical metrics — see
+    _EvalStepCache). Pass the same `cfg` as `data_cfg=` to evaluate().
+    raw=False restores host-side f32 normalization.
 
     batch_size > 1 groups SAME-SHAPE samples per batch (shape bucketing), so
     batched eval is bitwise-identical to per-sample eval — no 255-pad
@@ -221,10 +270,25 @@ def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
     from stf_unet_tpu.data.loader import (load_sample_raw_native,
                                           prefetch_iterator)
 
+    # The legacy cat_list mode pads IMAGES with 0 in normalized space
+    # (ref:my_dataset.py:237-257 pads after ToTensor+Normalize) — not a
+    # representable uint8 value — so it keeps host normalization. The
+    # default modes (batch 1 / shape bucketing) never produce pad pixels.
+    if not bucket_by_shape and batch_size > 1:
+        raw = False
+
+    # Multi-host eval sharding: process i takes records[i::n] (disjoint
+    # cover); pair with evaluate(reduce_across_processes=True) for global
+    # metrics. Default (0, 1) = every host sees the full set.
+    records = index.records[host_index::num_hosts]
+
+    mask_format = getattr(cfg, "mask_format", "binary")
+
     def sample_iter():
-        for rec in index.records:
-            frames, mask, pk = load_sample_raw_native(rec, use_pk_maps)
-            yield eval_preprocess(frames, mask, cfg, pk)
+        for rec in records:
+            frames, mask, pk = load_sample_raw_native(rec, use_pk_maps,
+                                                      mask_format)
+            yield eval_preprocess(frames, mask, cfg, pk, raw=raw)
 
     def batch_iter():
         if bucket_by_shape and batch_size > 1:
@@ -257,8 +321,10 @@ def _collate_eval(imgs, tgts):
     max_w = max(t.shape[1] for t in tgts)
     b = len(imgs)
     t_steps = imgs[0].shape[0]
-    image = np.zeros((b, t_steps, max_h, max_w, 1), dtype=np.float32)
-    target = np.full((b, max_h, max_w), 255, dtype=np.int32)
+    # dtype follows the preprocess mode: uint8 (transfer-lean raw path,
+    # image pad 0 == raw black) or float32/int32 (host-normalized path).
+    image = np.zeros((b, t_steps, max_h, max_w, 1), dtype=imgs[0].dtype)
+    target = np.full((b, max_h, max_w), 255, dtype=tgts[0].dtype)
     for i, (im, tg) in enumerate(zip(imgs, tgts)):
         image[i, :, :im.shape[1], :im.shape[2]] = im
         target[i, :tg.shape[0], :tg.shape[1]] = tg

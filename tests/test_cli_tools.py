@@ -146,8 +146,10 @@ def test_predict_mask_sigmoid_matches_torch_reference():
 
 
 def test_compilation_cache_helper(tmp_path, monkeypatch):
-    """enable_compilation_cache points jax at the dir, is idempotent, and
-    an empty path (config "" / --compile-cache-dir '') disables it."""
+    """enable_compilation_cache points jax at the dir; a default (None)
+    request after an enable is idempotent, but an EXPLICIT path re-points
+    and an explicit empty path disables — so --compile-cache-dir takes
+    effect even when an entry point already enabled the default dir."""
     import jax
 
     from stf_unet_tpu.core import cache
@@ -161,8 +163,16 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         got = cache.enable_compilation_cache(target)
         assert got == target and os.path.isdir(target)
         assert jax.config.jax_compilation_cache_dir == target
-        # idempotent: a second call (even with another path) keeps the first
-        assert cache.enable_compilation_cache(str(tmp_path / "o")) == target
+        # default request keeps the already-enabled dir
+        assert cache.enable_compilation_cache(None) == target
+        # explicit different dir re-points (the user's flag wins)
+        other = str(tmp_path / "o")
+        assert cache.enable_compilation_cache(other) == other
+        assert jax.config.jax_compilation_cache_dir == other
+        # explicit disable after an enable turns the cache off
+        assert cache.enable_compilation_cache("") is None
+        assert jax.config.jax_compilation_cache_dir is None
+        monkeypatch.setattr(cache, "_ENABLED_DIR", None)
     finally:
         # jax.config is process-global: restore so later tests don't write
         # cache entries into this test's tmp dir

