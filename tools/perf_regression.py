@@ -2,13 +2,20 @@
 in a single run, appended as one JSONL row (with git rev) so rounds can be
 diffed. Uses the persistent compile cache — repeat runs skip the compiles.
 
-  python tools/perf_regression.py [--out perf_history.jsonl]
+  python tools/perf_regression.py [--out perf_history.jsonl] [--check]
+
+--check GATES the run: each metric is compared against the most recent
+value in the --out history and the process exits 1 if any regresses by
+more than --tolerance (default 5%) — run at round close so kernel wins
+can't silently rot.
 
 Rows measured (all real-chip, warm, B=16 @ 224² T=8):
   unet_f32_ms / unet_bf16_ms      pure train step (bench.py parity config)
   stflstm_bf16_ms                 flagship pure train step
   augment_ms                      device augmentation program alone
   fused_unet_bf16_ms              augment+train in one program
+  eval_step_raw_bf16_ms           flagship batch-1 eval step on raw uint8
+                                  (device normalize + forward + metrics)
   pk_lm_chunk_ms                  16384-voxel LM solver chunk
 """
 
@@ -48,6 +55,10 @@ def main():
     ap.add_argument("--out", default=None,
                     help="JSONL history file to append to (default: print only)")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--check", action="store_true",
+                    help="exit 1 if any metric regresses >--tolerance vs "
+                         "its most recent value in --out")
+    ap.add_argument("--tolerance", type=float, default=0.05)
     args = ap.parse_args()
 
     from stf_unet_tpu.core.cache import enable_compilation_cache
@@ -114,6 +125,28 @@ def main():
     row["fused_unet_bf16_ms"] = round(timeit(run_fused, iters=args.iters,
                                              key_arg=True), 2)
 
+    # Flagship batch-1 eval step on raw uint8 inputs — the transfer-lean
+    # val-epoch device program (device normalize + forward + confusion/dice).
+    from stf_unet_tpu.train.loop import _EvalStepCache
+    from stf_unet_tpu.metrics.confusion import confusion_init
+
+    data_cfg = DataConfig(base_size=SRC, crop_size=CROP)
+    ecfg = ModelConfig(model="stflstm", num_classes=1, time_steps=T)
+    emodel = create_model(ecfg, dtype=make_policy(True).compute_dtype)
+    esample = jnp.zeros((1, T, CROP, CROP, 1), jnp.float32)
+    estate = create_train_state(jax.random.key(0), ecfg,
+                                make_optimizer(OptimConfig(), sched), esample)
+    stepper = _EvalStepCache(emodel, 2, mean=data_cfg.mean, std=data_cfg.std)
+    evars = estate.variables()
+    eimg = jnp.asarray(rng.integers(0, 255, (1, T, CROP, CROP, 1)), jnp.uint8)
+    etgt = jnp.asarray(rng.integers(0, 2, (1, CROP, CROP)), jnp.uint8)
+    econf = confusion_init(2)
+    ecum = jnp.zeros((2,), jnp.float32)
+    ecnt = jnp.zeros((), jnp.int32)
+    row["eval_step_raw_bf16_ms"] = round(timeit(
+        lambda: stepper(evars, eimg, etgt, econf, ecum, ecnt),
+        iters=args.iters), 2)
+
     from stf_unet_tpu.core.config import PKConfig
     from stf_unet_tpu.pk.aif import population_aif
     from stf_unet_tpu.pk.fit import _lm_fit_chunk
@@ -139,9 +172,40 @@ def main():
         rev = "unknown"
     record = {"rev": rev, **row}
     print(json.dumps(record))
+
+    regressions = []
+    if args.check and args.out and os.path.exists(args.out):
+        # Most recent historical value per metric (rows may carry different
+        # metric sets as the sweep grows).
+        last = {}
+        with open(args.out) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    prev = json.loads(line)
+                    for k, v in prev.items():
+                        if k != "rev" and isinstance(v, (int, float)):
+                            last[k] = (v, prev.get("rev", "?"))
+        for k, v in row.items():
+            if k not in last or not isinstance(v, (int, float)):
+                continue
+            old, old_rev = last[k]
+            delta = (v - old) / old if old else 0.0
+            marker = ""
+            if delta > args.tolerance:
+                regressions.append(k)
+                marker = "  <-- REGRESSION"
+            print(f"  {k}: {old} ({old_rev}) -> {v}  "
+                  f"{delta * 100:+.1f}%{marker}")
+
     if args.out:
         with open(args.out, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    if regressions:
+        print(f"perf regression gate FAILED (> {args.tolerance * 100:.0f}%): "
+              f"{', '.join(regressions)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
