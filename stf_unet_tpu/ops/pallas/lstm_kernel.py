@@ -104,7 +104,13 @@ def fused_lstm_last(x_proj: jax.Array, w_hh: jax.Array, b: jax.Array,
 # Below this many pixel rows the scan's residual traffic is small enough
 # that XLA wins (measured r2, tools/perf_lstm_kernel.py: fused beats scan
 # ~2x at N>=12544 for training but loses at N=3136).
-FUSED_TRAIN_MIN_ROWS = 8192
+FUSED_TRAIN_MIN_ROWS = 8192  # retained for reference; routing is C-based
+# Roofline crossover (PERFORMANCE.md r3): the fused kernel's extra cost is
+# gate-recompute matmul FLOPs (∝ T·N·C²), the scan's is residual HBM
+# traffic (∝ T·N·C). On v5e (~240 bf16-FLOP per HBM byte) they cross at
+# C ≈ 90–180 — matching the measured fused win at C=128 (2.1x) and loss at
+# C=256 (4.4x). N cancels to first order, so the threshold is on C.
+FUSED_TRAIN_MAX_C = 128
 
 
 def lstm_backend_default(train: bool = True, *, n: int = 0, cdim: int = 0,
@@ -112,18 +118,22 @@ def lstm_backend_default(train: bool = True, *, n: int = 0, cdim: int = 0,
     """TPU routing, measured (tools/perf_lstm_kernel.py, r2):
 
     * training: the fully-fused last-step kernel (lstm_train_kernel.py)
-      when its VMEM plan fits AND the row count is large — it avoids the
+      when its VMEM plan fits AND C <= FUSED_TRAIN_MAX_C — it avoids the
       [T,N,4C] x_proj materialization and all h/c/gate residual traffic
-      (the scan LSTMs were 23 of 57 ms of the flagship bf16 step); scan
-      otherwise (small-N scales are compute-trivial and scan wins there).
+      (the scan LSTMs were 23 of 57 ms of the flagship bf16 step). At
+      large C the kernel's gate-recompute FLOPs (∝ C²) outgrow the
+      residual traffic it saves (∝ C) and scan wins — the measured
+      C=256 inversion, explained by roofline in PERFORMANCE.md r3 (the
+      r2 N-threshold routed the same scales but for the wrong variable:
+      a T-inside no-grid-overhead variant measured within 10%, ruling
+      out grid overhead as the cause).
     * inference: fused kernel when it fits (in-kernel input projection
       beats pallas_last + external einsum at every scale), else the
       last-only kernel.
     Multi-device: the fused kernel rides a custom_partitioning wrapper
     (lstm_train_kernel._partitioned_ops) that shards the row axis and
-    psums the weight grads, so routing is the same as single-device; the
-    N threshold then applies to the PER-DEVICE row count, approximated
-    here as n / device_count. CPU/GPU: scan."""
+    psums the weight grads, so routing is the same as single-device with
+    the per-device row count n / device_count. CPU/GPU: scan."""
     if jax.default_backend() != "tpu":
         return "scan"
     if n and cdim:
@@ -131,6 +141,6 @@ def lstm_backend_default(train: bool = True, *, n: int = 0, cdim: int = 0,
         from stf_unet_tpu.ops.pallas.lstm_train_kernel import (
             lstm_fused_supported)
         if lstm_fused_supported(t_steps, n, cdim, itemsize) and (
-                not train or n >= FUSED_TRAIN_MIN_ROWS):
+                not train or cdim <= FUSED_TRAIN_MAX_C):
             return "pallas_fused"
     return "scan" if train else "pallas_last"

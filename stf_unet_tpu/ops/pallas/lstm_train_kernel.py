@@ -218,6 +218,155 @@ def _make_bwd_kernel(cdim, t_steps, tile, n):
     return kernel
 
 
+def _plan_ti(t_steps: int, n: int, cdim: int, itemsize: int):
+    """Row tile for the T-inside backward kernel: the whole [T, tile, C]
+    x/dx blocks live in VMEM alongside the h/c scratch, so the grid has
+    ONE axis (row tiles). The unrolled T loop keeps several iterations'
+    gate temporaries live at once — Mosaic's measured scoped-vmem stack for
+    tile=128/C=256 is ~19 MB where a naive block sum says ~10 — so this
+    plan uses a deliberately conservative 8 MB budget against the naive
+    sum. Returns None if nothing fits."""
+    budget = 8 * 1024 * 1024
+    weights = 2 * cdim * 4 * cdim * itemsize
+    accums = 2 * cdim * 4 * cdim * 4 + 4 * cdim * 4
+    fixed = weights + accums
+    tile = 512
+    while tile >= 32:
+        tile_eff = min(tile, max(32, n))
+        hc = 2 * t_steps * tile_eff * cdim * 4            # h/c scratch (f32)
+        xbuf = 2 * (2 * t_steps * tile_eff * cdim * itemsize)  # x+dx, 2-buf
+        carry = 2 * tile_eff * cdim * 4
+        gates = 5 * tile_eff * 4 * cdim * 4               # live gate temps
+        if fixed + hc + xbuf + carry + gates <= budget:
+            return tile_eff
+        tile //= 2
+    return None
+
+
+def _make_bwd_kernel_ti(cdim, t_steps, tile, n):
+    """T-inside backward: one grid step per row tile; the T recurrence is a
+    Python-unrolled loop over the VMEM-resident [T, tile, C] x block. Same
+    math (and recompute strategy) as the 2T-grid kernel, but 2T× fewer grid
+    steps and x is DMA'd once instead of twice — the grid-step overhead and
+    double x traffic are what invert the kernel vs scan at large C / small
+    N (PERFORMANCE.md r3)."""
+    def kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, dh_ref,
+               dx_ref, dwi_ref, dwh_ref, db_ref, h_seq, c_seq):
+        nb = pl.program_id(0)
+        f32 = jnp.float32
+
+        @pl.when(nb == 0)
+        def _():
+            dwi_ref[:] = jnp.zeros_like(dwi_ref)
+            dwh_ref[:] = jnp.zeros_like(dwh_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+
+        row = nb * tile + lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        mask = row < n
+
+        def gates_at(x_blk, h_prev):
+            return (jnp.dot(x_blk, w_ih_ref[:], preferred_element_type=f32)
+                    + jnp.dot(h_prev.astype(x_blk.dtype), w_hh_ref[:],
+                              preferred_element_type=f32)
+                    + b_ref[0].astype(f32))
+
+        zeros = jnp.zeros((tile, cdim), f32)
+        h_prev, c_prev = zeros, zeros
+        for t in range(t_steps):  # forward recompute into VMEM scratch
+            i, f, g, o = _gate_split(gates_at(x_ref[t], h_prev), cdim)
+            c_prev = f * c_prev + i * g
+            h_prev = o * jnp.tanh(c_prev)
+            h_seq[t] = h_prev
+            c_seq[t] = c_prev
+
+        dh = jnp.where(mask, dh_ref[:].astype(f32), 0.0)
+        dc_carry = zeros
+        dwi_acc = jnp.zeros_like(dwi_ref)
+        dwh_acc = jnp.zeros_like(dwh_ref)
+        db_acc = jnp.zeros_like(db_ref)
+        for t in range(t_steps - 1, -1, -1):
+            h_prev = h_seq[t - 1] if t > 0 else zeros
+            c_prev = c_seq[t - 1] if t > 0 else zeros
+            i, f, g, o = _gate_split(gates_at(x_ref[t], h_prev), cdim)
+            tanh_c = jnp.tanh(c_seq[t])
+            do = dh * tanh_c
+            dc = dc_carry + dh * o * (1.0 - tanh_c ** 2)
+            dgates = jnp.concatenate([
+                dc * g * i * (1.0 - i),
+                dc * c_prev * f * (1.0 - f),
+                dc * i * (1.0 - g ** 2),
+                do * o * (1.0 - o)], axis=-1)
+            dgates = jnp.where(mask, dgates, 0.0)
+            dh = lax.dot_general(
+                dgates, w_hh_ref[:].astype(f32),
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            dc_carry = jnp.where(mask, dc * f, 0.0)
+            dx_ref[t] = lax.dot_general(
+                dgates, w_ih_ref[:].astype(f32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32).astype(dx_ref.dtype)
+            x_m = jnp.where(mask, x_ref[t].astype(f32), 0.0)
+            h_m = jnp.where(mask, h_prev, 0.0)
+            dwi_acc += lax.dot_general(
+                x_m, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dwh_acc += lax.dot_general(
+                h_m, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            db_acc += jnp.sum(dgates, axis=0, keepdims=True)
+        dwi_ref[:] += dwi_acc
+        dwh_ref[:] += dwh_acc
+        db_ref[:] += db_acc
+
+    return kernel
+
+
+def _bwd_call_ti(x, w_ih, w_hh, b, dh, interpret):
+    t_steps, n, cdim = x.shape
+    tile = _plan_ti(t_steps, n, cdim, x.dtype.itemsize)
+    if tile is None:
+        raise ValueError("T-inside bwd kernel does not fit VMEM")
+    grid = (pl.cdiv(n, tile),)
+    dx, dwi, dwh, db = pl.pallas_call(
+        _make_bwd_kernel_ti(cdim, t_steps, tile, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_steps, tile, cdim), lambda nb: (0, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cdim), lambda nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cdim), lambda nb: (nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_steps, tile, cdim), lambda nb: (0, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, 4 * cdim), lambda nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cdim), lambda nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_steps, n, cdim), x.dtype),
+            jax.ShapeDtypeStruct((cdim, 4 * cdim), jnp.float32),
+            jax.ShapeDtypeStruct((cdim, 4 * cdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * cdim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_steps, tile, cdim), jnp.float32),
+            pltpu.VMEM((t_steps, tile, cdim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_ih, w_hh, b.reshape(1, 4 * cdim), dh)
+    return dx, dwi, dwh, db
+
+
 def _bwd_call(x, w_ih, w_hh, b, dh, interpret):
     t_steps, n, cdim = x.shape
     tile = _require_plan(t_steps, n, cdim, x.dtype.itemsize)
@@ -268,6 +417,17 @@ def _bwd_call(x, w_ih, w_hh, b, dh, interpret):
         interpret=interpret,
     )(x, w_ih, w_hh, b.reshape(1, 4 * cdim), dh)
     return dx, dwi, dwh, db
+
+
+def _bwd_dispatch(x, w_ih, w_hh, b, dh, interpret):
+    """Backward routing: the T-inside kernel when its (conservative) VMEM
+    plan fits — measured ~5-7% faster than the 2T-grid kernel at the
+    C=64/128 scales that route fused (one x DMA instead of two, 2T× fewer
+    grid steps) — else the 2T-grid streaming kernel."""
+    t_steps, n, cdim = x.shape
+    if _plan_ti(t_steps, n, cdim, x.dtype.itemsize) is not None:
+        return _bwd_call_ti(x, w_ih, w_hh, b, dh, interpret)
+    return _bwd_call(x, w_ih, w_hh, b, dh, interpret)
 
 
 def lstm_fused_supported(t_steps: int, n: int, cdim: int,
@@ -328,7 +488,7 @@ def _partitioned_ops(interpret: bool):
 
     @custom_partitioning
     def bwd_op(x, w_ih, w_hh, b, dh):
-        dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+        dx, dwi, dwh, db = _bwd_dispatch(x, w_ih, w_hh, b, dh, interpret)
         return dx, dwi, dwh, db
 
     def bwd_partition(mesh, arg_shapes, result_shape):
@@ -337,7 +497,7 @@ def _partitioned_ops(interpret: bool):
         row_spec = row if row else None
 
         def lower_fn(x, w_ih, w_hh, b, dh):
-            dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+            dx, dwi, dwh, db = _bwd_dispatch(x, w_ih, w_hh, b, dh, interpret)
             if row:  # weight/bias grads are partial sums over local rows
                 dwi = jax.lax.psum(dwi, row)
                 dwh = jax.lax.psum(dwh, row)
@@ -394,7 +554,7 @@ def _vjp_bwd(interpret, partitioned, residuals, dh):
         dx, dwi, dwh, db = _partitioned_ops(interpret)[1](x, w_ih, w_hh, b,
                                                           dh)
     else:
-        dx, dwi, dwh, db = _bwd_call(x, w_ih, w_hh, b, dh, interpret)
+        dx, dwi, dwh, db = _bwd_dispatch(x, w_ih, w_hh, b, dh, interpret)
     return (dx, dwi.astype(w_ih.dtype), dwh.astype(w_hh.dtype),
             db.reshape(-1).astype(b.dtype))
 

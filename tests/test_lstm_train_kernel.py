@@ -34,6 +34,27 @@ def test_forward_matches_scan(t_steps, n, c):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("t_steps,n,c", [(8, 96, 64), (4, 200, 128),
+                                         (8, 300, 64)])
+def test_ti_and_2t_backward_kernels_agree(t_steps, n, c):
+    """The T-inside backward (one grid axis, unrolled recurrence) and the
+    2T-grid streaming backward compute the same grads (PERFORMANCE.md r3:
+    TI routes wherever its VMEM plan fits)."""
+    from stf_unet_tpu.ops.pallas.lstm_train_kernel import (_bwd_call,
+                                                           _bwd_call_ti,
+                                                           _plan, _plan_ti)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(t_steps, n, c)), jnp.float32)
+    w_ih, w_hh, b = _params(c)
+    dh = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    assert _plan(t_steps, n, c, 4) and _plan_ti(t_steps, n, c, 4)
+    a = _bwd_call(x, w_ih, w_hh, b, dh, interpret=True)
+    t = _bwd_call_ti(x, w_ih, w_hh, b, dh, interpret=True)
+    for got, want, name in zip(t, a, ("dx", "dwi", "dwh", "db")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=2e-5, err_msg=name)
+
+
 @pytest.mark.parametrize("t_steps,n,c", [(8, 96, 64), (4, 200, 128)])
 def test_gradients_match_scan_autodiff(t_steps, n, c):
     """dx, dW_ih, dW_hh, db vs jax.grad through the scan — including a

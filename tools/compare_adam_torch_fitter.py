@@ -1,0 +1,121 @@
+"""One-off numerical comparison (VERDICT r2 weak 7): our full-batch
+vectorized Adam PK fitter vs the REFERENCE's torch fitter (1024-voxel
+minibatches, ref:pk_fitting.py:316-353) on the same small volume.
+
+The repo's Adam-parity claim rests on an argument (same per-voxel update
+count + Adam's per-element moment normalizer makes minibatch vs full-batch
+equivalent); this runs the reference's own `ToftsModelFitter.fit_volume_gpu`
+on torch-CPU against `pk.fit.fit_adam` on the identical synthetic volume
+and reports per-voxel parameter deltas, retiring the argument with numbers
+(recorded in PERFORMANCE.md r3).
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site \
+          python tools/compare_adam_torch_fitter.py [--size 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_reference_fitter():
+    spec = importlib.util.spec_from_file_location(
+        "ref_pk", "/root/reference/pk_fitting.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def synthetic_volume(size: int, seed: int = 0):
+    """[T=8, H, W] float signal volume in [0, 255] from known smooth
+    (Ktrans, ve, vp) maps inside a central tissue disk, plus a dim
+    background that the 0.15*mean threshold removes."""
+    rng = np.random.default_rng(seed)
+    h = w = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.sqrt((yy - h / 2) ** 2 + (xx - w / 2) ** 2) / (0.42 * size)
+    tissue = r <= 1.0
+    ktrans = np.where(tissue, 0.08 + 0.25 * np.exp(-3 * r ** 2), 0.0)
+    ve = np.where(tissue, 0.15 + 0.2 * (1 - r), 0.0)
+    vp = np.where(tissue, 0.02 + 0.05 * (1 - r ** 2), 0.0)
+    return ktrans, ve, vp, tissue
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=48)
+    args = ap.parse_args()
+
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import PKConfig
+    from stf_unet_tpu.pk.aif import population_aif
+    from stf_unet_tpu.pk import fit as fit_lib
+    from stf_unet_tpu.pk.tofts import ToftsQuadrature, extended_tofts_batch
+
+    cfg = PKConfig()
+    quad = ToftsQuadrature.build(np.asarray(cfg.time_points, np.float32),
+                                 population_aif, cfg.dt)
+
+    kt, ve, vp, tissue = synthetic_volume(args.size)
+    idx = np.nonzero(tissue.reshape(-1))[0]
+    curves = np.asarray(extended_tofts_batch(
+        quad, jnp.asarray(kt.reshape(-1)[idx]),
+        jnp.asarray(ve.reshape(-1)[idx]), jnp.asarray(vp.reshape(-1)[idx])))
+    # scale to a [0, 255] image volume; peak concentration ~0.5 -> x350
+    vol = np.zeros((8, args.size * args.size), np.float32)
+    vol[:, idx] = curves.T * 350.0
+    vol = vol.reshape(8, args.size, args.size)
+
+    # ---- reference torch fitter (CPU, 1024-voxel minibatch Adam) --------
+    ref = load_reference_fitter()
+    fitter = ref.ToftsModelFitter(device="cpu", aif_method="population")
+    t0 = time.time()
+    ref_maps = np.asarray(fitter.fit_volume_gpu(vol))  # [3, H, W]
+    t_ref = time.time() - t0
+
+    # the reference's preprocess divides by 255; its fitted curves are the
+    # /255 volume. Ours must see the SAME curves for a like-for-like Adam
+    # comparison.
+    images_tensor, mask_t = fitter.preprocess_images(vol)
+    mask_ref = mask_t.cpu().numpy().reshape(-1) > 0
+
+    # ---- our fitter: same preprocessing semantics, full-batch Adam ------
+    our_mask = mask_ref  # identical voxel set by construction
+    pixels = (vol.reshape(8, -1).T / 255.0).astype(np.float32)
+    our_curves = pixels[our_mask]
+    t0 = time.time()
+    ours = fit_lib.fit_adam(our_curves, quad, cfg)  # [N, 3]
+    t_ours = time.time() - t0
+
+    ref_params = ref_maps.reshape(3, -1).T[our_mask]  # [N, 3]
+    names = ("Ktrans", "ve", "vp")
+    print(f"\nvoxels compared: {our_mask.sum()}  "
+          f"(ref fit {t_ref:.1f}s torch-CPU, ours {t_ours:.1f}s)")
+    print(f"{'param':8s} {'max|diff|':>10s} {'mean|diff|':>11s} "
+          f"{'p99|diff|':>10s} {'ref range':>22s}")
+    worst = 0.0
+    for i, name in enumerate(names):
+        d = np.abs(ours[:, i] - ref_params[:, i])
+        worst = max(worst, float(d.max()))
+        print(f"{name:8s} {d.max():10.5f} {d.mean():11.6f} "
+              f"{np.percentile(d, 99):10.5f} "
+              f"[{ref_params[:, i].min():.4f}, {ref_params[:, i].max():.4f}]")
+    print("\nfull-batch Adam vs the reference's 1024-voxel minibatch Adam "
+          "fit the same volume; differences above are the minibatch-vs-"
+          "full-batch question the parity argument answers.")
+    return worst
+
+
+if __name__ == "__main__":
+    main()
