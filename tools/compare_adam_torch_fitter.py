@@ -99,21 +99,32 @@ def main():
     t_ours = time.time() - t0
 
     ref_params = ref_maps.reshape(3, -1).T[our_mask]  # [N, 3]
+    true_full = np.stack([kt.reshape(-1), ve.reshape(-1), vp.reshape(-1)], 1)
+    # the fitted curves are the /255 volume = true curves x (350/255): the
+    # preprocessing rescale means the FITTED params target a scaled problem;
+    # compare both solvers to each other (like-for-like) and to the
+    # best-fit-of-the-scaled-curves proxy (our LM solution, converged).
+    lm = fit_lib.fit_lm(our_curves, quad, cfg)
     names = ("Ktrans", "ve", "vp")
     print(f"\nvoxels compared: {our_mask.sum()}  "
           f"(ref fit {t_ref:.1f}s torch-CPU, ours {t_ours:.1f}s)")
-    print(f"{'param':8s} {'max|diff|':>10s} {'mean|diff|':>11s} "
-          f"{'p99|diff|':>10s} {'ref range':>22s}")
+    print(f"{'param':8s} {'ours-vs-ref':>12s} {'ours-vs-LM*':>12s} "
+          f"{'ref-vs-LM*':>12s} {'ref range':>22s}   (mean|diff|; LM* = "
+          f"converged best fit)")
     worst = 0.0
     for i, name in enumerate(names):
-        d = np.abs(ours[:, i] - ref_params[:, i])
-        worst = max(worst, float(d.max()))
-        print(f"{name:8s} {d.max():10.5f} {d.mean():11.6f} "
-              f"{np.percentile(d, 99):10.5f} "
+        d_ref = np.abs(ours[:, i] - ref_params[:, i])
+        d_lm_ours = np.abs(ours[:, i] - lm[:, i])
+        d_lm_ref = np.abs(ref_params[:, i] - lm[:, i])
+        worst = max(worst, float(d_ref.max()))
+        print(f"{name:8s} {d_ref.mean():12.6f} {d_lm_ours.mean():12.6f} "
+              f"{d_lm_ref.mean():12.6f} "
               f"[{ref_params[:, i].min():.4f}, {ref_params[:, i].max():.4f}]")
+    del true_full
     print("\nfull-batch Adam vs the reference's 1024-voxel minibatch Adam "
-          "fit the same volume; differences above are the minibatch-vs-"
-          "full-batch question the parity argument answers.")
+          "fit the same volume. If ours-vs-ref is comparable to each "
+          "solver's own distance from the converged LM optimum, the gap is "
+          "100-epoch non-convergence noise, not a minibatch-parity gap.")
     return worst
 
 
