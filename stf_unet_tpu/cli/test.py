@@ -102,6 +102,20 @@ def test(args: argparse.Namespace) -> dict:
                                                 json.loads(meta_cfg))
         except Exception as e:  # malformed sidecar: fall back to defaults
             print(f"note: unreadable checkpoint config ({e})")
+    if saved is not None:
+        # Sequence selection and the PK channels are flag-driven (they pick
+        # the checkpoint FILE suffix, so they cannot default from the
+        # sidecar) — but a mismatch silently evaluates on the wrong inputs;
+        # warn loudly.
+        for flag, ours, theirs in (
+                ("--use-subtraction", args.use_subtraction,
+                 saved.data.use_subtraction),
+                ("--use-pk-maps", args.use_pk_maps, saved.data.use_pk_maps)):
+            if bool(ours) != bool(theirs):
+                print(f"WARNING: checkpoint was trained with "
+                      f"{flag}={bool(theirs)} but this run uses "
+                      f"{flag}={bool(ours)} — inference will see different "
+                      f"input sequences/channels than training did")
     num_classes = args.num_classes if args.num_classes is not None else (
         saved.model.total_classes if saved else 2)
     base_c = args.base_c if args.base_c is not None else (

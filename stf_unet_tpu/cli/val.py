@@ -120,13 +120,14 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         image_j = jnp.asarray(image)
         shape = tuple(image_j.shape)
         if shape not in fwd_cache:
+            from stf_unet_tpu.data.transforms import normalize
             mean, std = data_cfg.mean, data_cfg.std
 
             def _fwd(v, x):
                 # Transfer-lean eval batches arrive as raw uint8; normalize
-                # on device (same f32 expression as host eval_preprocess).
+                # on device (same expression as the eval step / host path).
                 if x.dtype == jnp.uint8:
-                    x = (x.astype(jnp.float32) / 255.0 - mean) / std
+                    x = normalize(x, mean, std)
                 return model.apply(v, preprocess_input(x, model),
                                    train=False)["out"]
 

@@ -20,6 +20,7 @@ import os
 from typing import Optional
 
 _ENABLED_DIR: Optional[str] = None
+_DISABLED = False  # set by an explicit "" request; sticky vs default calls
 
 
 def default_cache_dir() -> str:
@@ -36,24 +37,31 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     a requirement).
 
     Idempotent for the default path, but an EXPLICIT request wins over an
-    earlier enable: several entry points (cli/pipeline main, bench) enable
-    the default dir before the train config is parsed, and a later
-    `--compile-cache-dir <dir>` (or "" to disable) must still take effect —
-    first-call-wins would silently ignore the user's flag."""
-    global _ENABLED_DIR
+    earlier enable AND over later default calls: several entry points
+    (cli/pipeline main, bench) enable the default dir before the train
+    config is parsed, and a later `--compile-cache-dir <dir>` (or "" to
+    disable) must take effect — while a subsequent no-arg call from
+    another entry point must NOT override what the user explicitly chose
+    (an explicit "" disable is sticky; an env-var "" only prevents the
+    default enable, it never tears down an explicitly-requested dir)."""
+    global _ENABLED_DIR, _DISABLED
     explicit = path is not None
     if path is None:
+        if _DISABLED or _ENABLED_DIR is not None:
+            return _ENABLED_DIR  # a prior explicit choice stands
         path = default_cache_dir()
-    if path == "":  # explicit "" / STF_UNET_COMPILE_CACHE="" disables
+        if path == "":  # STF_UNET_COMPILE_CACHE="" suppresses the default
+            return None
+    if path == "":  # explicit "" (--compile-cache-dir '') disables, sticky
+        _DISABLED = True
         if _ENABLED_DIR is not None:
             import jax
             jax.config.update("jax_compilation_cache_dir", None)
             _ENABLED_DIR = None
         return None
-    if _ENABLED_DIR is not None:
-        if _ENABLED_DIR == path or not explicit:
-            return _ENABLED_DIR
-        # explicit different dir: fall through and re-point the config
+    if _ENABLED_DIR is not None and _ENABLED_DIR == path:
+        return _ENABLED_DIR
+    _DISABLED = False  # an explicit dir overrides a prior disable
     try:
         os.makedirs(path, exist_ok=True)
         import jax

@@ -89,7 +89,15 @@ class CheckpointManager:
         wait()/restore — otherwise training would continue with nothing
         persisted. Also applies backpressure: blocks on the oldest pending
         save once MAX_PENDING are outstanding, bounding the number of HBM
-        snapshots pinned by the queue."""
+        snapshots pinned by the queue.
+
+        Multi-process failure semantics: orbax save/restore barrier across
+        ALL processes, so if one process dies on a host-local write error,
+        its peers surface the failure via the coordination-service barrier
+        timeout (orbax's multihost coordination_timeout) rather than
+        instantly — the standard multi-controller JAX failure mode. Fast
+        local failure remains preferable to training on with nothing
+        persisted."""
         self._reap(block_until=self.MAX_PENDING - 1)
         path = self._path(kind)
         snap = _snapshot(self._tree(state))
@@ -159,11 +167,7 @@ class CheckpointManager:
             "step": template.step,
         }
         restored = self._ckptr.restore(path, item=tree_template)
-        meta = {}
-        meta_path = os.path.join(path, META_NAME)
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+        meta = self.read_meta(path)
         state = TrainState(params=restored["params"],
                            batch_stats=restored["batch_stats"],
                            opt_state=restored["opt_state"],

@@ -167,7 +167,8 @@ class _EvalStepCache:
                 if is_raw:
                     # Same f32 expression the host path computes
                     # (transforms.eval_preprocess): metrics are identical.
-                    image = (image.astype(jnp.float32) / 255.0 - mean) / std
+                    from stf_unet_tpu.data.transforms import normalize
+                    image = normalize(image, mean, std)
                     target = target.astype(jnp.int32)
                 x = preprocess_input(image, model)
                 logits = model.apply(variables, x, train=False)["out"]

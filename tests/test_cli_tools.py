@@ -155,16 +155,26 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     from stf_unet_tpu.core import cache
 
     monkeypatch.setattr(cache, "_ENABLED_DIR", None)
+    monkeypatch.setattr(cache, "_DISABLED", False)
     assert cache.enable_compilation_cache("") is None
+    # explicit disable is sticky vs later default calls...
+    monkeypatch.setenv("STF_UNET_COMPILE_CACHE", str(tmp_path / "envdir"))
+    assert cache.enable_compilation_cache(None) is None
 
     old_dir = jax.config.jax_compilation_cache_dir
     try:
         target = str(tmp_path / "xla_cache")
+        # ...but an explicit dir overrides a prior disable
         got = cache.enable_compilation_cache(target)
         assert got == target and os.path.isdir(target)
         assert jax.config.jax_compilation_cache_dir == target
-        # default request keeps the already-enabled dir
+        # default request keeps the already-enabled dir — even when the
+        # env var says "" (env suppresses the DEFAULT enable only; it
+        # never tears down an explicit choice)
         assert cache.enable_compilation_cache(None) == target
+        monkeypatch.setenv("STF_UNET_COMPILE_CACHE", "")
+        assert cache.enable_compilation_cache(None) == target
+        assert jax.config.jax_compilation_cache_dir == target
         # explicit different dir re-points (the user's flag wins)
         other = str(tmp_path / "o")
         assert cache.enable_compilation_cache(other) == other
@@ -173,6 +183,7 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         assert cache.enable_compilation_cache("") is None
         assert jax.config.jax_compilation_cache_dir is None
         monkeypatch.setattr(cache, "_ENABLED_DIR", None)
+        monkeypatch.setattr(cache, "_DISABLED", False)
     finally:
         # jax.config is process-global: restore so later tests don't write
         # cache entries into this test's tmp dir

@@ -99,7 +99,6 @@ def main():
     t_ours = time.time() - t0
 
     ref_params = ref_maps.reshape(3, -1).T[our_mask]  # [N, 3]
-    true_full = np.stack([kt.reshape(-1), ve.reshape(-1), vp.reshape(-1)], 1)
     # the fitted curves are the /255 volume = true curves x (350/255): the
     # preprocessing rescale means the FITTED params target a scaled problem;
     # compare both solvers to each other (like-for-like) and to the
@@ -120,7 +119,6 @@ def main():
         print(f"{name:8s} {d_ref.mean():12.6f} {d_lm_ours.mean():12.6f} "
               f"{d_lm_ref.mean():12.6f} "
               f"[{ref_params[:, i].min():.4f}, {ref_params[:, i].max():.4f}]")
-    del true_full
     print("\nfull-batch Adam vs the reference's 1024-voxel minibatch Adam "
           "fit the same volume. If ours-vs-ref is comparable to each "
           "solver's own distance from the converged LM optimum, the gap is "

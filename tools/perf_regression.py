@@ -198,13 +198,17 @@ def main():
             print(f"  {k}: {old} ({old_rev}) -> {v}  "
                   f"{delta * 100:+.1f}%{marker}")
 
-    if args.out:
+    # A regressed row must NOT become the next run's baseline (the gate
+    # would self-heal after reporting a persistent regression exactly
+    # once), so the row is appended only when the gate passes.
+    if args.out and not regressions:
         with open(args.out, "a") as f:
             f.write(json.dumps(record) + "\n")
 
     if regressions:
         print(f"perf regression gate FAILED (> {args.tolerance * 100:.0f}%): "
-              f"{', '.join(regressions)}", file=sys.stderr)
+              f"{', '.join(regressions)} — row NOT appended to {args.out}",
+              file=sys.stderr)
         sys.exit(1)
 
 
