@@ -93,6 +93,43 @@ def test_load_sample_raw_native_matches_pil(tmp_path):
         np.testing.assert_array_equal(pk_n, pk_p)
 
 
+def test_index_mask_format_native_matches_pil(tmp_path):
+    """mask_format='index' (multiclass class-index masks) must decode
+    identically on the native and PIL paths — raw values, no //255 — and
+    both HostLoader decode paths must agree."""
+    import numpy as np
+    import pytest
+    from stf_unet_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.loader import (HostLoader, load_sample_raw,
+                                          load_sample_raw_native)
+
+    root = make_synthetic_breadm(str(tmp_path), size=40, time_steps=4,
+                                 splits=("training",), patients_per_split=1,
+                                 slices_per_patient=2, mask_classes=3)
+    seqs = tuple(f"VIBRANT+C{i}" for i in range(1, 5))
+    idx = DatasetIndex(root, "train", seqs)
+    classes_seen = set()
+    for rec in idx.records:
+        _, m_p, _ = load_sample_raw(rec, mask_format="index")
+        _, m_n, _ = load_sample_raw_native(rec, mask_format="index")
+        np.testing.assert_array_equal(m_n, m_p)
+        classes_seen |= set(np.unique(m_p).tolist())
+    assert classes_seen == {0, 1, 2, 3}  # indices survived the decode
+
+    nat = HostLoader(idx, batch_size=2, shuffle=False, prefetch=0,
+                     use_native=True, mask_format="index")
+    pil = HostLoader(idx, batch_size=2, shuffle=False, prefetch=0,
+                     use_native=False, mask_format="index")
+    bn = next(iter(nat.epoch(0)))
+    bp = next(iter(pil.epoch(0)))
+    np.testing.assert_array_equal(bn.masks, bp.masks)
+    assert set(np.unique(bn.masks).tolist()) <= {0, 1, 2, 3, 255}
+
+
 def test_load_sample_raw_native_fallback_on_bad_file(tmp_path):
     """A 0-byte frame makes the native fast path fall back to PIL, which
     surfaces a decode error instead of silently zero-filling eval data."""
