@@ -74,15 +74,20 @@ def run_pipeline(args: argparse.Namespace) -> dict:
     n_done = 0
     for i, rec in enumerate(index.records):
         frames, mask, _ = load_sample_raw(rec)
-        image, _ = eval_preprocess(frames, mask, data_cfg)
+        # transfer-lean: ship the PIL-parity-resized uint8 frames and
+        # normalize inside the jitted forward (train/loop r3 eval path)
+        image, _ = eval_preprocess(frames, mask, data_cfg, raw=True)
 
         t0 = time.perf_counter()
         x = jnp.asarray(image)[None]
         shape = tuple(x.shape)
         if shape not in fwd_cache:
+            from stf_unet_tpu.data.transforms import normalize
+            mean, std = data_cfg.mean, data_cfg.std
             fwd_cache[shape] = jax.jit(
-                lambda v, xx: model.apply(v, preprocess_input(xx, model),
-                                          train=False)["out"])
+                lambda v, xx: model.apply(
+                    v, preprocess_input(normalize(xx, mean, std), model),
+                    train=False)["out"])
         logits = np.asarray(fwd_cache[shape](variables, x))[0]
         pred = np.argmax(logits, axis=-1).astype(np.uint8)
 
