@@ -14,6 +14,7 @@
 //
 // Build: make -C native   (g++ -shared -fPIC -O2 ... -ljpeg -lpng -lpthread)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -230,6 +231,73 @@ int stf_decode_batch(const char** paths, int n, uint8_t* canvas,
     for (auto& th : pool) th.join();
   }
   return ok.load();
+}
+
+// Banded separable PIL-parity resize of `n` uint8 planes.
+//
+// The eval pipeline's short-edge resize must reproduce PIL's filter exactly
+// (it feeds the metrics); the Python side precomputes the banded tap tables
+// (idx_h/wgt_h [out_h, kh], idx_w/wgt_w [out_w, kw] — see
+// stf_unet_tpu/data/transforms._banded_resize_taps) and this kernel applies
+// them: vertical pass into an f64 row buffer, horizontal gather pass, then
+// round-half-even + clip to uint8. Accumulation is ascending-k sequential —
+// the SAME floating-point order as the numpy fallback, so the two paths are
+// bit-identical (pinned by tests/test_native_loader.py).
+//
+// src [n, in_h, in_w] u8  ->  dst [n, out_h, out_w] u8.
+int stf_banded_resize(const uint8_t* src, int n, int in_h, int in_w,
+                      uint8_t* dst, int out_h, int out_w,
+                      const int64_t* idx_h, const double* wgt_h, int kh,
+                      const int64_t* idx_w, const double* wgt_w, int kw,
+                      int n_threads) {
+  if (n <= 0) return 0;
+  const long in_plane = static_cast<long>(in_h) * in_w;
+  const long out_plane = static_cast<long>(out_h) * out_w;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<double> tmp(static_cast<size_t>(out_h) * in_w);
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* plane = src + in_plane * i;
+      // Vertical: tmp[o, :] = sum_k wgt_h[o,k] * src[idx_h[o,k], :]
+      for (int o = 0; o < out_h; ++o) {
+        double* trow = tmp.data() + static_cast<size_t>(o) * in_w;
+        for (int x = 0; x < in_w; ++x) trow[x] = 0.0;
+        for (int k = 0; k < kh; ++k) {
+          const double w = wgt_h[static_cast<long>(o) * kh + k];
+          const uint8_t* srow =
+              plane + idx_h[static_cast<long>(o) * kh + k] * in_w;
+          for (int x = 0; x < in_w; ++x) trow[x] += w * srow[x];
+        }
+      }
+      // Horizontal + round-half-even (std::nearbyint under the default
+      // FE_TONEAREST mode == np.round) + clip.
+      uint8_t* dplane = dst + out_plane * i;
+      for (int o = 0; o < out_h; ++o) {
+        const double* trow = tmp.data() + static_cast<size_t>(o) * in_w;
+        uint8_t* drow = dplane + static_cast<long>(o) * out_w;
+        for (int p = 0; p < out_w; ++p) {
+          const int64_t* ip = idx_w + static_cast<long>(p) * kw;
+          const double* wp = wgt_w + static_cast<long>(p) * kw;
+          double acc = 0.0;
+          for (int k = 0; k < kw; ++k) acc += wp[k] * trow[ip[k]];
+          const double r = std::nearbyint(acc);
+          drow[p] = r < 0.0 ? 0 : (r > 255.0 ? 255 : static_cast<uint8_t>(r));
+        }
+      }
+    }
+  };
+  if (n_threads <= 1 || n <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    const int k = n_threads < n ? n_threads : n;
+    pool.reserve(k);
+    for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

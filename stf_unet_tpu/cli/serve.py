@@ -1,0 +1,93 @@
+"""Model-serving entry point: one process owns the chip and serves
+segmentation over HTTP with dynamic batching.
+
+The reference has no deployment path (ref:test.py is a batch CLI); this is
+the production serving story of the TPU rebuild — see serve/engine.py
+(compiled shape-bucketed forward, request coalescing) and serve/http.py
+(stdlib HTTP front end, /healthz /metrics /v1/segment).
+
+Usage: python -m stf_unet_tpu.cli.serve --model stflstm
+       --model-dir ./save_weights [--host 0.0.0.0] [--port 8421]
+       [--max-batch 8] [--batch-window-ms 5] [--no-warmup]
+
+Client example:
+    buf = io.BytesIO(); np.savez(buf, frames=frames_u8_THW)
+    r = requests.post(f"http://host:port/v1/segment?format=npz",
+                      data=buf.getvalue())
+    mask = np.load(io.BytesIO(r.content))["mask"]
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="STF-UNet TPU serving")
+    p.add_argument("--model", type=str, default="stflstm",
+                   choices=["unet", "stflstm"])
+    p.add_argument("--model-dir", type=str, default="./save_weights")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8421)
+    p.add_argument("--use-subtraction", action="store_true")
+    p.add_argument("--use-pk-maps", action="store_true")
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="default: from checkpoint config")
+    p.add_argument("--base-c", type=int, default=None,
+                   help="default: from checkpoint config")
+    p.add_argument("--crop-size", type=int, default=None,
+                   help="default: from checkpoint config")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="dynamic batching cap (power-of-two buckets)")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="how long a request waits for batch peers")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip pre-compiling the square-input buckets")
+    return p.parse_args(argv)
+
+
+def build_server(args: argparse.Namespace):
+    from stf_unet_tpu.cli.common import restore_for_inference
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    from stf_unet_tpu.serve.http import SegmentationServer
+
+    enable_compilation_cache()
+    model, state, data_cfg, model_cfg, ckpt, kind, _ = restore_for_inference(
+        args.model, args.model_dir,
+        use_pk_maps=args.use_pk_maps,
+        use_subtraction=args.use_subtraction,
+        num_classes=args.num_classes, base_c=args.base_c,
+        crop_size=args.crop_size)
+    print(f"serving {ckpt._path(kind)}")
+
+    server = SegmentationServer(
+        model, state.variables(), data_cfg, model_name=args.model,
+        host=args.host, port=args.port, max_batch=args.max_batch,
+        window_ms=args.batch_window_ms)
+    if not args.no_warmup:
+        t_total = len(data_cfg.resolved_sequence_types) + \
+            (3 if args.use_pk_maps else 0)
+        print("warming up (compiling batch buckets)...")
+        server.engine.warmup(t_total, data_cfg.crop_size, data_cfg.crop_size)
+    return server
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    args = parse_args(argv)
+    server = build_server(args)
+    server.start()
+    host, port = server.address
+    print(f"listening on http://{host}:{port}  "
+          f"(POST /v1/segment, GET /healthz, GET /metrics)")
+    try:
+        import threading
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,77 +78,21 @@ def predict_mask(logits: np.ndarray, mode: str = "argmax") -> np.ndarray:
 
 
 def test(args: argparse.Namespace) -> dict:
-    import json
-
-    from stf_unet_tpu.core import config as config_lib
+    from stf_unet_tpu.cli.common import restore_for_inference
     from stf_unet_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
-
-    ckpt = CheckpointManager(args.model_dir, args.model,
-                             "_pk" if args.use_pk_maps else "")
-    kind = "best" if ckpt.exists("best") else "latest"
-    if not ckpt.exists(kind):
-        raise FileNotFoundError(
-            f"{args.model}_best_model not found in {args.model_dir}")
 
     # Recover the training config from the checkpoint sidecar so
     # architecture-affecting values (width, classes, crop, mask encoding)
     # default to what the checkpoint was trained with; explicit flags win.
-    saved = None
-    meta_cfg = ckpt.read_meta(kind).get("config")
-    if meta_cfg:
-        try:
-            saved = config_lib.config_from_dict(config_lib.TrainConfig,
-                                                json.loads(meta_cfg))
-        except Exception as e:  # malformed sidecar: fall back to defaults
-            print(f"note: unreadable checkpoint config ({e})")
-    if saved is not None:
-        # Sequence selection and the PK channels are flag-driven (they pick
-        # the checkpoint FILE suffix, so they cannot default from the
-        # sidecar) — but a mismatch silently evaluates on the wrong inputs;
-        # warn loudly.
-        for flag, ours, theirs in (
-                ("--use-subtraction", args.use_subtraction,
-                 saved.data.use_subtraction),
-                ("--use-pk-maps", args.use_pk_maps, saved.data.use_pk_maps)):
-            if bool(ours) != bool(theirs):
-                print(f"WARNING: checkpoint was trained with "
-                      f"{flag}={bool(theirs)} but this run uses "
-                      f"{flag}={bool(ours)} — inference will see different "
-                      f"input sequences/channels than training did")
-    num_classes = args.num_classes if args.num_classes is not None else (
-        saved.model.total_classes if saved else 2)
-    base_c = args.base_c if args.base_c is not None else (
-        saved.model.base_c if saved else ModelConfig.base_c)
-    crop_size = args.crop_size if args.crop_size is not None else (
-        saved.data.crop_size if saved else DataConfig.crop_size)
-    mask_format = args.mask_format if args.mask_format is not None else (
-        saved.data.mask_format if saved else "binary")
-
-    data_cfg = DataConfig(data_path=args.root,
-                          use_subtraction=args.use_subtraction,
-                          use_pk_maps=args.use_pk_maps,
-                          crop_size=crop_size,
-                          mask_format=mask_format,
-                          **({"base_size": saved.data.base_size,
-                              "mean": saved.data.mean,
-                              "std": saved.data.std} if saved else {}))
+    model, state, data_cfg, model_cfg, ckpt, kind, num_classes = (
+        restore_for_inference(
+            args.model, args.model_dir, root=args.root,
+            use_pk_maps=args.use_pk_maps,
+            use_subtraction=args.use_subtraction,
+            num_classes=args.num_classes, base_c=args.base_c,
+            crop_size=args.crop_size, mask_format=args.mask_format))
     seq_types = data_cfg.resolved_sequence_types
-    model_cfg = ModelConfig(model=args.model,
-                            num_classes=num_classes - 1,
-                            base_c=base_c,
-                            time_steps=len(seq_types),
-                            use_pk_maps=args.use_pk_maps)
-    model = create_model(model_cfg)
-
-    # Template state for checkpoint restore (params-only use).
-    import jax
-    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
-    t_total = len(seq_types) + (3 if args.use_pk_maps else 0)
-    sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
-    state = create_train_state(jax.random.key(0), model_cfg, optim, sample)
-
-    state, _ = ckpt.restore(kind, state)
     print(f"model_path: {ckpt._path(kind)}")
 
     test_index = DatasetIndex(args.root, "test", seq_types,

@@ -29,7 +29,7 @@ def _build() -> Optional[str]:
         return None
     try:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", src,
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src,
              "-o", target, "-ljpeg", "-lpng", "-lpthread"],
             check=True, capture_output=True, timeout=120)
         return target
@@ -51,6 +51,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
     try:
         lib = ctypes.CDLL(target)
+        if not hasattr(lib, "stf_banded_resize"):
+            # Stale build from before the resize kernel; rebuild once.
+            del lib
+            target = _build()
+            if target is None:
+                return None
+            lib = ctypes.CDLL(target)
     except OSError as e:
         print(f"native decoder load failed ({e}); using PIL fallback")
         return None
@@ -63,6 +70,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stf_image_size.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
+    lib.stf_banded_resize.restype = ctypes.c_int
+    lib.stf_banded_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -102,3 +117,37 @@ def decode_batch(paths: List[str], canvas_h: int, canvas_w: int,
         canvas_h, canvas_w, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         fill, n_threads)
     return canvas, sizes
+
+
+def banded_resize(src: np.ndarray, out_h: int, out_w: int,
+                  idx_h: np.ndarray, wgt_h: np.ndarray,
+                  idx_w: np.ndarray, wgt_w: np.ndarray,
+                  n_threads: Optional[int] = None) -> np.ndarray:
+    """Banded separable PIL-parity resize of uint8 planes [N, H, W] ->
+    [N, out_h, out_w] via the native kernel. Bit-identical to the numpy
+    fallback in data/transforms (ascending-k f64 accumulation,
+    round-half-even)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    n, in_h, in_w = src.shape
+    dst = np.empty((n, out_h, out_w), dtype=np.uint8)
+    idx_h = np.ascontiguousarray(idx_h, dtype=np.int64)
+    wgt_h = np.ascontiguousarray(wgt_h, dtype=np.float64)
+    idx_w = np.ascontiguousarray(idx_w, dtype=np.int64)
+    wgt_w = np.ascontiguousarray(wgt_w, dtype=np.float64)
+    assert idx_h.shape[0] == out_h and idx_w.shape[0] == out_w
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.stf_banded_resize(
+        src.ctypes.data_as(u8p), n, in_h, in_w,
+        dst.ctypes.data_as(u8p), out_h, out_w,
+        idx_h.ctypes.data_as(i64p), wgt_h.ctypes.data_as(f64p),
+        idx_h.shape[1],
+        idx_w.ctypes.data_as(i64p), wgt_w.ctypes.data_as(f64p),
+        idx_w.shape[1], n_threads)
+    return dst

@@ -53,6 +53,33 @@ def _banded_resize_taps(in_size: int, out_size: int):
     return idx, wgt
 
 
+def banded_resize_u8(x: np.ndarray, out_h: int, out_w: int,
+                     idx_h: np.ndarray, wgt_h: np.ndarray,
+                     idx_w: np.ndarray, wgt_w: np.ndarray,
+                     force_numpy: bool = False) -> np.ndarray:
+    """Apply precomputed banded PIL-parity resize taps to uint8 planes
+    [N, H, W] -> [N, out_h, out_w]: f64 vertical then horizontal passes,
+    round-half-even, clip. Dispatches to the native C++ kernel
+    (native/decoder.cpp stf_banded_resize) when available; the numpy
+    fallback accumulates in the same ascending-k order so both paths are
+    bit-identical."""
+    if not force_numpy:
+        from stf_unet_tpu.data import native_loader
+        if native_loader.native_available():
+            return native_loader.banded_resize(
+                x, out_h, out_w, idx_h, wgt_h, idx_w, wgt_w)
+    xf = x.astype(np.float64)
+    kh = idx_h.shape[1]
+    y = np.zeros((x.shape[0], out_h, x.shape[2]), np.float64)
+    for k in range(kh):
+        y += wgt_h[None, :, k, None] * xf[:, idx_h[:, k], :]
+    kw = idx_w.shape[1]
+    z = np.zeros((x.shape[0], out_h, out_w), np.float64)
+    for k in range(kw):
+        z += wgt_w[None, None, :, k] * y[:, :, idx_w[:, k]]
+    return np.clip(np.round(z), 0, 255).astype(np.uint8)
+
+
 def normalize(img: jax.Array, mean: float, std: float) -> jax.Array:
     """uint8/float [0,255] -> normalized float32 (ToTensor + Normalize,
     ref:transforms.py:120-134)."""
@@ -368,13 +395,13 @@ def eval_preprocess(frames: np.ndarray, mask: np.ndarray, cfg: DataConfig,
     def pil_resize_u8(x):
         # PIL resizes uint8 with rounding; replicate (ref resizes PIL
         # images). The PIL filter has only a handful of taps per output
-        # row, so apply it as a banded gather+weighted-sum: the dense
-        # einsum formulation dominated eval wall time on the 1-core host
-        # (~0.4 s per 8-frame 256² sample, measured r2).
-        xf = x.astype(np.float64)
-        y = np.einsum("tokw,ok->tow", xf[:, idx_h, :], wgt_h)
-        y = np.einsum("topk,pk->top", y[:, :, idx_w], wgt_w)
-        return np.clip(np.round(y), 0, 255).astype(np.uint8)
+        # row, so apply it as a banded gather+weighted-sum — the native
+        # C++ kernel when available (the banded numpy form still cost
+        # ~15 ms/sample of the host-bound val epoch, measured r3), else
+        # the numpy fallback below, which uses the IDENTICAL ascending-k
+        # f64 accumulation order so the two are bit-identical
+        # (tests/test_native_loader.py).
+        return banded_resize_u8(x, out_h, out_w, idx_h, wgt_h, idx_w, wgt_w)
 
     frames_r = pil_resize_u8(frames)
 

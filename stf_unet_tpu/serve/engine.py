@@ -1,0 +1,204 @@
+"""Serving inference engine: checkpoint -> compiled forward, with
+shape-bucketed dynamic batching.
+
+The reference has no serving story (its test.py is a batch CLI that
+re-imports torch and the source tree, ref:test.py:137-196). This is the
+deployment path of the TPU rebuild: one process owns the chip, keeps the
+jitted forward warm per input-shape bucket, and coalesces concurrent
+requests into batches so the MXU runs at batch efficiency instead of
+batch-1 dispatch latency.
+
+Design notes:
+  * Transfer-lean: requests ship PIL-parity-resized uint8 frames
+    (host-side native banded resize, data/transforms); normalization runs
+    inside the jitted forward — the same r3 eval-path contract
+    (train/loop._EvalStepCache), so served predictions are bit-identical
+    to cli/test's.
+  * Static shapes for XLA: batches are padded up to power-of-two sizes
+    (1, 2, 4, ... max_batch), bounding the compile count per input shape
+    at log2(max_batch)+1; padding rows replicate row 0 and are sliced off.
+  * The engine is model-agnostic host code; there is no torch, no HTTP in
+    this module (the HTTP layer lives in serve/http.py).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class InferenceEngine:
+    """Compiled argmax-segmentation forward over raw uint8 inputs.
+
+    predict() takes [B, T(+pk), h, w, 1] uint8 and returns int32 masks
+    [B, h, w] (argmax semantics, SURVEY §3.3 unification; sigmoid
+    compatibility is a render-side concern, cli/test.predict_mask).
+    """
+
+    def __init__(self, model, variables, mean: float, std: float,
+                 max_batch: int = 8):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.mean = float(mean)
+        self.std = float(std)
+        self.max_batch = int(max_batch)
+        self._fns: Dict[Tuple[int, ...], Any] = {}
+        self._jax = jax
+
+    def _fn_for(self, shape: Tuple[int, ...]):
+        fn = self._fns.get(shape)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from stf_unet_tpu.data.transforms import normalize
+            from stf_unet_tpu.models.registry import preprocess_input
+
+            model, mean, std = self.model, self.mean, self.std
+
+            @jax.jit
+            def fwd(variables, x_u8):
+                x = normalize(x_u8, mean, std)
+                logits = model.apply(variables, preprocess_input(x, model),
+                                     train=False)["out"]
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            fn = self._fns[shape] = fwd
+        return fn
+
+    @staticmethod
+    def _bucket(n: int, max_batch: int) -> int:
+        b = 1
+        while b < n and b < max_batch:
+            b *= 2
+        return b
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """images uint8 [B, T, h, w, 1] -> masks int32 [B, h, w]."""
+        n = images.shape[0]
+        b = self._bucket(n, self.max_batch)
+        if n < b:  # pad by replicating row 0; sliced off below
+            pad = np.repeat(images[:1], b - n, axis=0)
+            images = np.concatenate([images, pad], axis=0)
+        fn = self._fn_for(tuple(images.shape))
+        masks = np.asarray(fn(self.variables, images))
+        return masks[:n]
+
+    def warmup(self, t_steps: int, h: int, w: int) -> None:
+        """Pre-compile every batch bucket for one input geometry so the
+        first real requests don't pay the XLA compile."""
+        for b in sorted({self._bucket(i + 1, self.max_batch)
+                         for i in range(self.max_batch)}):
+            x = np.zeros((b, t_steps, h, w, 1), np.uint8)
+            self.predict(x)
+
+
+class _Request:
+    __slots__ = ("image", "event", "mask", "error", "enqueue_t")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.mask: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+        self.enqueue_t = time.perf_counter()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent same-shape requests into one device batch.
+
+    Requests queue per input shape; a single worker thread takes the
+    oldest request's shape, waits up to `window_ms` for peers (or until
+    `max_batch` accumulate), runs the engine once, and fans results back
+    out. One worker == one chip owner: device dispatch stays serialized,
+    which is what the TPU wants.
+    """
+
+    def __init__(self, engine: InferenceEngine, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1000.0
+        self._lock = threading.Condition()
+        self._queues: Dict[Tuple[int, ...], deque] = {}
+        self._order: deque = deque()  # shapes in arrival order
+        self._stop = False
+        self.batch_sizes: List[int] = []  # observed batch sizes (stats)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, image: np.ndarray) -> _Request:
+        req = _Request(image)
+        shape = tuple(image.shape)
+        with self._lock:
+            q = self._queues.get(shape)
+            if q is None:
+                q = self._queues[shape] = deque()
+            q.append(req)
+            self._order.append(shape)
+            self._lock.notify_all()
+        return req
+
+    def infer(self, image: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+        """Blocking single-sample inference: image [T, h, w, 1] uint8 ->
+        mask [h, w] int32."""
+        req = self.submit(image)
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise req.error
+        return req.mask
+
+    def close(self) -> None:
+        with self._lock:
+            self._stop = True
+            self._lock.notify_all()
+        self._worker.join(timeout=5)
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Wait for work; return one same-shape batch (holds the lock
+        internally, returns with it released)."""
+        with self._lock:
+            while not self._order and not self._stop:
+                self._lock.wait()
+            if self._stop and not self._order:
+                return None
+            shape = self._order[0]
+            q = self._queues[shape]
+            deadline = q[0].enqueue_t + self.window_s
+            while (len(q) < self.max_batch and not self._stop):
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                self._lock.wait(remaining)
+            batch = []
+            while q and len(batch) < self.max_batch:
+                batch.append(q.popleft())
+                self._order.remove(shape)
+            if not q:
+                del self._queues[shape]
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            images = np.stack([r.image for r in batch], axis=0)
+            self.batch_sizes.append(len(batch))
+            try:
+                masks = self.engine.predict(images)
+                for r, m in zip(batch, masks):
+                    r.mask = m
+            except BaseException as e:  # surface to every waiter
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()

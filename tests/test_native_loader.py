@@ -150,3 +150,47 @@ def test_load_sample_raw_native_fallback_on_bad_file(tmp_path):
     open(idx[0].image_paths[1], "wb").close()
     with pytest.raises(Exception):
         load_sample_raw_native(idx[0])
+
+
+def test_native_banded_resize_bit_identical_to_numpy():
+    """The C++ banded-resize kernel (native/decoder.cpp stf_banded_resize)
+    must be BIT-identical to the numpy fallback — both accumulate the f64
+    taps in ascending-k order and round half-even — across down/up-scales,
+    non-square shapes, and the identity size."""
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    from stf_unet_tpu.data.transforms import (_banded_resize_taps,
+                                              banded_resize_u8)
+
+    rng = np.random.default_rng(7)
+    cases = [(256, 256, 224, 224), (520, 520, 224, 224), (48, 64, 32, 42),
+             (100, 80, 224, 179), (224, 224, 224, 224), (31, 77, 64, 159),
+             (64, 64, 1, 1)]
+    for h, w, oh, ow in cases:
+        idx_h, wgt_h = _banded_resize_taps(h, oh)
+        idx_w, wgt_w = _banded_resize_taps(w, ow)
+        x = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        ref = banded_resize_u8(x, oh, ow, idx_h, wgt_h, idx_w, wgt_w,
+                               force_numpy=True)
+        nat = native_loader.banded_resize(x, oh, ow, idx_h, wgt_h,
+                                          idx_w, wgt_w)
+        np.testing.assert_array_equal(ref, nat, err_msg=f"{(h, w, oh, ow)}")
+
+
+def test_eval_preprocess_native_vs_numpy_paths_identical(monkeypatch):
+    """eval_preprocess output must not depend on whether the native resize
+    kernel is present (the fallback host must see identical metrics)."""
+    from stf_unet_tpu.core.config import DataConfig
+    from stf_unet_tpu.data.transforms import eval_preprocess
+
+    if not native_loader.native_available():
+        pytest.skip("native decoder unavailable")
+    cfg = DataConfig(crop_size=48)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 100, 80), dtype=np.uint8)
+    mask = rng.integers(0, 2, (100, 80)).astype(np.uint8)
+    with_native = eval_preprocess(frames, mask, cfg, raw=True)
+    monkeypatch.setattr(native_loader, "native_available", lambda: False)
+    without = eval_preprocess(frames, mask, cfg, raw=True)
+    np.testing.assert_array_equal(with_native[0], without[0])
+    np.testing.assert_array_equal(with_native[1], without[1])

@@ -1,0 +1,231 @@
+"""Serving subsystem tests: engine bucketing, dynamic batching, and the
+HTTP front end (all on the CPU backend with a tiny UNet)."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stf_unet_tpu.core.config import DataConfig, ModelConfig
+from stf_unet_tpu.models.registry import create_model, preprocess_input
+from stf_unet_tpu.serve.engine import DynamicBatcher, InferenceEngine
+from stf_unet_tpu.serve.http import SegmentationServer
+
+T_STEPS = 2
+CROP = 32
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4,
+                      time_steps=T_STEPS)
+    model = create_model(cfg)
+    x = jnp.zeros((1, T_STEPS, CROP, CROP, 1))
+    variables = model.init(jax.random.key(0), preprocess_input(x, model),
+                           train=False)
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def data_cfg():
+    return DataConfig(crop_size=CROP)
+
+
+def _frames(rng, h=40, w=48):
+    return rng.integers(0, 256, (T_STEPS, h, w), dtype=np.uint8)
+
+
+def test_engine_pads_to_power_of_two_buckets(tiny_model, data_cfg):
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                          max_batch=8)
+    rng = np.random.default_rng(0)
+    x1 = rng.integers(0, 256, (1, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    x3 = rng.integers(0, 256, (3, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    x5 = rng.integers(0, 256, (5, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    assert eng.predict(x1).shape == (1, CROP, CROP)
+    assert eng.predict(x3).shape == (3, CROP, CROP)
+    assert eng.predict(x5).shape == (5, CROP, CROP)
+    compiled_batches = sorted(s[0] for s in eng._fns)
+    assert compiled_batches == [1, 4, 8]
+    # padding rows must not change real rows: batch-3 result == batch-1 runs
+    per = np.stack([eng.predict(x3[i:i + 1])[0] for i in range(3)])
+    np.testing.assert_array_equal(eng.predict(x3), per)
+
+
+def test_engine_matches_direct_forward(tiny_model, data_cfg):
+    """Served masks == direct normalize->forward->argmax (bit-identical)."""
+    model, variables = tiny_model
+    from stf_unet_tpu.data.transforms import normalize
+
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, (2, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    logits = model.apply(variables,
+                         preprocess_input(
+                             normalize(jnp.asarray(x), data_cfg.mean,
+                                       data_cfg.std), model),
+                         train=False)["out"]
+    expect = np.argmax(np.asarray(logits), axis=-1)
+    np.testing.assert_array_equal(eng.predict(x), expect)
+
+
+def test_batcher_coalesces_concurrent_requests(tiny_model, data_cfg):
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                          max_batch=8)
+    eng.warmup(T_STEPS, CROP, CROP)  # so the first batch isn't compile-bound
+    batcher = DynamicBatcher(eng, max_batch=8, window_ms=300.0)
+    try:
+        rng = np.random.default_rng(2)
+        imgs = [rng.integers(0, 256, (T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+                for _ in range(4)]
+        results = [None] * 4
+
+        def call(i):
+            results[i] = batcher.infer(imgs[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is not None and r.shape == (CROP, CROP) for r in results)
+        # The 300 ms window must have coalesced them into few batches, and
+        # at least one real multi-request batch must exist.
+        assert sum(batcher.batch_sizes) == 4
+        assert max(batcher.batch_sizes) >= 2
+        # coalesced results == solo results
+        for i in range(4):
+            np.testing.assert_array_equal(results[i],
+                                          eng.predict(imgs[i][None])[0])
+    finally:
+        batcher.close()
+
+
+def test_batcher_groups_by_shape(tiny_model, data_cfg):
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std)
+    batcher = DynamicBatcher(eng, max_batch=8, window_ms=50.0)
+    try:
+        rng = np.random.default_rng(3)
+        a = batcher.infer(rng.integers(0, 256, (T_STEPS, CROP, CROP, 1),
+                                       dtype=np.uint8))
+        b = batcher.infer(rng.integers(0, 256, (T_STEPS, CROP, CROP + 16, 1),
+                                       dtype=np.uint8))
+        assert a.shape == (CROP, CROP)
+        assert b.shape == (CROP, CROP + 16)
+    finally:
+        batcher.close()
+
+
+def test_batcher_surfaces_errors(tiny_model, data_cfg):
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std)
+    batcher = DynamicBatcher(eng, max_batch=4, window_ms=5.0)
+    try:
+        bad = np.zeros((T_STEPS, 7, 5, 2), np.uint8)  # channel dim 2: invalid
+        with pytest.raises(Exception):
+            batcher.infer(bad, timeout=30)
+    finally:
+        batcher.close()
+
+
+@pytest.fixture(scope="module")
+def server(tiny_model, data_cfg):
+    model, variables = tiny_model
+    srv = SegmentationServer(model, variables, data_cfg,
+                             model_name="unet", port=0, max_batch=4,
+                             window_ms=2.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _url(server, path):
+    host, port = server.address
+    return f"http://{host}:{port}{path}"
+
+
+def _post_npz(server, frames, query=""):
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames)
+    req = urllib.request.Request(_url(server, "/v1/segment" + query),
+                                 data=buf.getvalue(), method="POST")
+    return urllib.request.urlopen(req, timeout=60)
+
+
+def test_http_healthz_and_metrics(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=10) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok" and body["model"] == "unet"
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=10) as r:
+        m = json.loads(r.read())
+    assert {"requests", "errors", "latency_ms"} <= set(m)
+
+
+def test_http_segment_json_npz_png_and_full_size(server, data_cfg):
+    rng = np.random.default_rng(4)
+    frames = _frames(rng)  # 40x48 -> short-edge resize to crop 32
+
+    with _post_npz(server, frames) as r:
+        body = json.loads(r.read())
+    from stf_unet_tpu.ops.resize import short_edge_size
+    oh, ow = short_edge_size(40, 48, CROP)
+    assert body["mask_shape"] == [oh, ow]
+    assert sum(body["class_pixels"].values()) == oh * ow
+
+    with _post_npz(server, frames, "?format=npz") as r:
+        mask = np.load(io.BytesIO(r.read()))["mask"]
+    assert mask.shape == (oh, ow)
+
+    with _post_npz(server, frames, "?format=png") as r:
+        from PIL import Image
+        png = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert png.shape == (oh, ow)
+    assert set(np.unique(png)) <= {0, 255}
+    np.testing.assert_array_equal((png > 0).astype(np.uint8),
+                                  (mask > 0).astype(np.uint8))
+
+    with _post_npz(server, frames, "?format=npz&full_size=1") as r:
+        full = np.load(io.BytesIO(r.read()))["mask"]
+    assert full.shape == frames.shape[1:]
+
+    # served mask == the engine's own prediction on the same preprocessing
+    expect = server.segment(frames)
+    np.testing.assert_array_equal(mask, expect)
+
+
+def test_http_bad_payload_is_400(server):
+    req = urllib.request.Request(_url(server, "/v1/segment"),
+                                 data=b"not an npz", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=10) as r:
+        assert json.loads(r.read())["errors"] >= 1
+
+
+def test_http_concurrent_clients_batch(server):
+    rng = np.random.default_rng(5)
+    frames = [_frames(rng, 64, 64) for _ in range(4)]
+    results = [None] * 4
+
+    def call(i):
+        with _post_npz(server, frames[i], "?format=npz") as r:
+            results[i] = np.load(io.BytesIO(r.read()))["mask"]
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i in range(4):
+        assert results[i] is not None
+        np.testing.assert_array_equal(results[i], server.segment(frames[i]))
