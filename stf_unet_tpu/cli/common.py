@@ -24,6 +24,7 @@ def restore_for_inference(
         use_pk_maps: bool = False, use_subtraction: bool = False,
         num_classes: Optional[int] = None, base_c: Optional[int] = None,
         crop_size: Optional[int] = None, mask_format: Optional[str] = None,
+        dtype=None,
 ) -> Tuple[object, object, DataConfig, ModelConfig, CheckpointManager, str,
            int]:
     """Load the best (else latest) checkpoint and build the model around
@@ -83,12 +84,13 @@ def restore_for_inference(
                             base_c=base_c,
                             time_steps=len(seq_types),
                             use_pk_maps=use_pk_maps)
-    model = create_model(model_cfg)
+    model = create_model(model_cfg, dtype=dtype)
 
     import jax
     optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
     t_total = len(seq_types) + (3 if use_pk_maps else 0)
     sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
-    state = create_train_state(jax.random.key(0), model_cfg, optim, sample)
+    state = create_train_state(jax.random.key(0), model_cfg, optim, sample,
+                               dtype=dtype)
     state, _ = ckpt.restore(kind, state)
     return model, state, data_cfg, model_cfg, ckpt, kind, num_classes

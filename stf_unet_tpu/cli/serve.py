@@ -38,6 +38,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    help="default: from checkpoint config")
     p.add_argument("--crop-size", type=int, default=None,
                    help="default: from checkpoint config")
+    p.add_argument("--dtype", type=str, default="bf16",
+                   choices=["bf16", "f32"],
+                   help="serving compute dtype (bf16 default — the TPU "
+                        "inference policy; params stay f32)")
     p.add_argument("--max-batch", type=int, default=8,
                    help="dynamic batching cap (power-of-two buckets)")
     p.add_argument("--batch-window-ms", type=float, default=5.0,
@@ -52,13 +56,16 @@ def build_server(args: argparse.Namespace):
     from stf_unet_tpu.core.cache import enable_compilation_cache
     from stf_unet_tpu.serve.http import SegmentationServer
 
+    import jax.numpy as jnp
+
     enable_compilation_cache()
     model, state, data_cfg, model_cfg, ckpt, kind, _ = restore_for_inference(
         args.model, args.model_dir,
         use_pk_maps=args.use_pk_maps,
         use_subtraction=args.use_subtraction,
         num_classes=args.num_classes, base_c=args.base_c,
-        crop_size=args.crop_size)
+        crop_size=args.crop_size,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
     print(f"serving {ckpt._path(kind)}")
 
     server = SegmentationServer(

@@ -59,6 +59,31 @@ def test_engine_pads_to_power_of_two_buckets(tiny_model, data_cfg):
     np.testing.assert_array_equal(eng.predict(x3), per)
 
 
+def test_engine_bf16_dtype(tiny_model, data_cfg):
+    """bf16 serving dtype (cli/serve.py --dtype bf16): params stay f32 so the
+    f32 checkpoint restores unchanged, and masks agree with f32 compute on
+    nearly every pixel (argmax is robust to the precision change)."""
+    _, variables = tiny_model
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4,
+                      time_steps=T_STEPS)
+    model_bf16 = create_model(cfg, dtype=jnp.bfloat16)
+    # param dtype is independent of compute dtype: init stays f32
+    x0 = preprocess_input(jnp.zeros((1, T_STEPS, CROP, CROP, 1)), model_bf16)
+    v2 = model_bf16.init(jax.random.key(0), x0, train=False)
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(v2["params"]))
+
+    model_f32, _ = tiny_model
+    eng32 = InferenceEngine(model_f32, variables, data_cfg.mean, data_cfg.std)
+    eng16 = InferenceEngine(model_bf16, variables, data_cfg.mean,
+                            data_cfg.std)
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 256, (2, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    m32, m16 = eng32.predict(x), eng16.predict(x)
+    assert m16.shape == m32.shape and m16.dtype == m32.dtype
+    assert np.mean(m16 == m32) > 0.99
+
+
 def test_engine_matches_direct_forward(tiny_model, data_cfg):
     """Served masks == direct normalize->forward->argmax (bit-identical)."""
     model, variables = tiny_model
