@@ -1,4 +1,6 @@
+from stf_unet_tpu.serve.client import SegmentationClient, ServerError
 from stf_unet_tpu.serve.engine import DynamicBatcher, InferenceEngine
 from stf_unet_tpu.serve.http import SegmentationServer
 
-__all__ = ["DynamicBatcher", "InferenceEngine", "SegmentationServer"]
+__all__ = ["DynamicBatcher", "InferenceEngine", "SegmentationClient",
+           "SegmentationServer", "ServerError"]

@@ -62,12 +62,17 @@ class InferenceEngine:
 
             model, mean, std = self.model, self.mean, self.std
 
+            # masks ride D2H as uint8 when classes fit a byte (4x fewer
+            # bytes on the serving link); predict() widens back to int32
+            out_dtype = (jnp.uint8 if int(model.num_classes) <= 256
+                         else jnp.int32)
+
             @jax.jit
             def fwd(variables, x_u8):
                 x = normalize(x_u8, mean, std)
                 logits = model.apply(variables, preprocess_input(x, model),
                                      train=False)["out"]
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return jnp.argmax(logits, axis=-1).astype(out_dtype)
 
             fn = self._fns[shape] = fwd
         return fn
@@ -87,7 +92,7 @@ class InferenceEngine:
             pad = np.repeat(images[:1], b - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
         fn = self._fn_for(tuple(images.shape))
-        masks = np.asarray(fn(self.variables, images))
+        masks = np.asarray(fn(self.variables, images)).astype(np.int32)
         return masks[:n]
 
     def warmup(self, t_steps: int, h: int, w: int) -> None:

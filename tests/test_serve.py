@@ -237,6 +237,34 @@ def test_http_bad_payload_is_400(server):
         assert json.loads(r.read())["errors"] >= 1
 
 
+def test_client_sdk_roundtrip(server, data_cfg):
+    from stf_unet_tpu.serve.client import SegmentationClient, ServerError
+
+    host, port = server.address
+    c = SegmentationClient(f"http://{host}:{port}")
+    assert c.healthz()["status"] == "ok"
+    assert "latency_ms" in c.metrics()
+
+    rng = np.random.default_rng(7)
+    frames = _frames(rng)  # 40x48
+    mask = c.segment(frames)
+    np.testing.assert_array_equal(mask, server.segment(frames))
+    full = c.segment(frames, full_size=True)
+    assert full.shape == frames.shape[1:]
+    summary = c.segment_summary(frames)
+    assert summary["mask_shape"] == list(mask.shape)
+    assert sum(summary["class_pixels"].values()) == mask.size
+    png = c.segment_png(frames)
+    from PIL import Image
+    assert np.asarray(Image.open(io.BytesIO(png))).shape == mask.shape
+
+    with pytest.raises(ValueError):
+        c.segment(frames.astype(np.float32))
+    with pytest.raises(ServerError) as ei:
+        c._request("/v1/segment", b"not an npz")
+    assert ei.value.code == 400
+
+
 def test_http_concurrent_clients_batch(server):
     rng = np.random.default_rng(5)
     frames = [_frames(rng, 64, 64) for _ in range(4)]

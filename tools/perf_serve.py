@@ -147,6 +147,7 @@ def main() -> None:
                                  max_batch=args.max_batch, window_ms=5.0)
         srv.start()
         try:
+            srv.engine.warmup(T, S, S)  # pre-compile ALL batch buckets
             host, port = srv.address
             url = f"http://{host}:{port}/v1/segment?format=npz"
             payloads = []
