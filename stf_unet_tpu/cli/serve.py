@@ -9,6 +9,11 @@ the production serving story of the TPU rebuild — see serve/engine.py
 Usage: python -m stf_unet_tpu.cli.serve --model stflstm
        --model-dir ./save_weights [--host 0.0.0.0] [--port 8421]
        [--max-batch 8] [--batch-window-ms 5] [--no-warmup]
+       [--dtype bf16|f32] [--data-parallel N]
+
+--data-parallel N shards request batches over N chips from ONE serving
+process (params replicated, GSPMD collectives over ICI); batch buckets
+floor at N so every shard stays non-empty.
 
 Client example:
     buf = io.BytesIO(); np.savez(buf, frames=frames_u8_THW)
@@ -42,6 +47,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    choices=["bf16", "f32"],
                    help="serving compute dtype (bf16 default — the TPU "
                         "inference policy; params stay f32)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard request batches over N chips from one "
+                        "serving process (0 = all visible devices); "
+                        "batch buckets floor at N")
     p.add_argument("--max-batch", type=int, default=8,
                    help="dynamic batching cap (power-of-two buckets)")
     p.add_argument("--batch-window-ms", type=float, default=5.0,
@@ -68,10 +77,16 @@ def build_server(args: argparse.Namespace):
         dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
     print(f"serving {ckpt._path(kind)}")
 
+    mesh = None
+    if args.data_parallel != 1:
+        from stf_unet_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh(args.data_parallel)
+        print(f"data-parallel serving over {mesh.devices.size} devices")
     server = SegmentationServer(
         model, state.variables(), data_cfg, model_name=args.model,
         host=args.host, port=args.port, max_batch=args.max_batch,
-        window_ms=args.batch_window_ms)
+        window_ms=args.batch_window_ms, mesh=mesh)
     if not args.no_warmup:
         t_total = len(data_cfg.resolved_sequence_types) + \
             (3 if args.use_pk_maps else 0)

@@ -40,14 +40,30 @@ class InferenceEngine:
     """
 
     def __init__(self, model, variables, mean: float, std: float,
-                 max_batch: int = 8):
+                 max_batch: int = 8, mesh=None):
+        """mesh: optional 1-D data mesh (core.mesh.create_mesh) — one
+        serving process owns N chips, request batches shard over the
+        batch axis, params replicate. Batch buckets floor at the mesh
+        size so every shard stays non-empty (GSPMD static shapes)."""
         import jax
 
         self.model = model
-        self.variables = variables
         self.mean = float(mean)
         self.std = float(std)
         self.max_batch = int(max_batch)
+        self.mesh = mesh
+        if mesh is not None:
+            from stf_unet_tpu.core.mesh import replicate
+
+            self._n_dev = int(mesh.devices.size)
+            if self.max_batch < self._n_dev:
+                raise ValueError(
+                    f"max_batch={max_batch} smaller than the "
+                    f"{self._n_dev}-device mesh; batches could not shard")
+            self.variables = replicate(mesh, variables)
+        else:
+            self._n_dev = 1
+            self.variables = variables
         self._fns: Dict[Tuple[int, ...], Any] = {}
         self._jax = jax
 
@@ -77,9 +93,8 @@ class InferenceEngine:
             fn = self._fns[shape] = fwd
         return fn
 
-    @staticmethod
-    def _bucket(n: int, max_batch: int) -> int:
-        b = 1
+    def _bucket(self, n: int, max_batch: int) -> int:
+        b = self._n_dev  # mesh size is a power of two; 1 when unmeshed
         while b < n and b < max_batch:
             b *= 2
         return b
@@ -92,6 +107,10 @@ class InferenceEngine:
             pad = np.repeat(images[:1], b - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
         fn = self._fn_for(tuple(images.shape))
+        if self.mesh is not None:
+            from stf_unet_tpu.core.mesh import shard_batch
+
+            images = shard_batch(self.mesh, images)
         masks = np.asarray(fn(self.variables, images)).astype(np.int32)
         return masks[:n]
 

@@ -70,11 +70,12 @@ class SegmentationServer:
 
     def __init__(self, model, variables, data_cfg, *, model_name: str = "",
                  host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 8, window_ms: float = 5.0):
+                 max_batch: int = 8, window_ms: float = 5.0, mesh=None):
         self.data_cfg = data_cfg
         self.model_name = model_name
         self.engine = InferenceEngine(model, variables, data_cfg.mean,
-                                      data_cfg.std, max_batch=max_batch)
+                                      data_cfg.std, max_batch=max_batch,
+                                      mesh=mesh)
         self.batcher = DynamicBatcher(self.engine, max_batch=max_batch,
                                       window_ms=window_ms)
         self.stats = ServerStats()

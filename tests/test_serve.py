@@ -237,6 +237,29 @@ def test_http_bad_payload_is_400(server):
         assert json.loads(r.read())["errors"] >= 1
 
 
+def test_engine_mesh_data_parallel(tiny_model, data_cfg):
+    """One serving process owning N devices: request batches shard over
+    the 8-device CPU mesh, buckets floor at the mesh size, masks are
+    bit-identical to the unmeshed engine (cli/serve.py --data-parallel)."""
+    from stf_unet_tpu.core.mesh import create_mesh
+
+    model, variables = tiny_model
+    mesh = create_mesh(8)
+    eng1 = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                           max_batch=16)
+    engN = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                           max_batch=16, mesh=mesh)
+    rng = np.random.default_rng(8)
+    for n in (1, 3, 8, 11):
+        x = rng.integers(0, 256, (n, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+        np.testing.assert_array_equal(engN.predict(x), eng1.predict(x))
+    # every compiled bucket is mesh-divisible (floored at 8)
+    assert sorted(s[0] for s in engN._fns) == [8, 16]
+    with pytest.raises(ValueError):
+        InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                        max_batch=4, mesh=mesh)
+
+
 def test_client_sdk_roundtrip(server, data_cfg):
     from stf_unet_tpu.serve.client import SegmentationClient, ServerError
 
