@@ -138,12 +138,18 @@ def main(cfg: TrainConfig) -> dict:
     model = create_model(model_cfg, dtype=policy.compute_dtype
                          if cfg.amp else None)
 
-    num_step = max(len(loader), 1)
+    # With grad accumulation the schedule advances once per optimizer
+    # APPLY (every k-th step), so size it in apply units.
+    k = max(int(cfg.grad_accum), 1)
+    num_step = max(-(-len(loader) // k), 1)
     schedule = warmup_poly_schedule(
         cfg.optim.lr, num_step, cfg.epochs, warmup=cfg.optim.warmup,
         warmup_epochs=cfg.optim.warmup_epochs,
         warmup_factor=cfg.optim.warmup_factor, power=cfg.optim.poly_power)
-    optim = make_optimizer(cfg.optim, schedule)
+    optim = make_optimizer(cfg.optim, schedule, grad_accum=k)
+    if k > 1:
+        print(f"gradient accumulation x{k}: effective batch "
+              f"{batch_size * k}")
 
     key = root_key(cfg.seed)
     t_total = len(seq_types) + (cfg.model.pk_channels if cfg.data.use_pk_maps else 0)
@@ -176,8 +182,12 @@ def main(cfg: TrainConfig) -> dict:
         state = mesh_lib.replicate(mesh, state)
 
     # Fused step: device augmentation compiles into the same program as the
-    # model update — one dispatch per step.
-    train_step = make_train_step(model, optim, schedule, num_classes,
+    # model update — one dispatch per step. The schedule arg is display-
+    # only (the optimizer owns its own); under accumulation state.step
+    # counts microbatches, so display in apply units.
+    display_schedule = (schedule if k == 1
+                        else (lambda s: schedule(s // k)))
+    train_step = make_train_step(model, optim, display_schedule, num_classes,
                                  augment=augment)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()

@@ -108,6 +108,10 @@ class TrainConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
 
     batch_size: int = 16
+    # Gradient accumulation: average grads over k steps, apply AdamW once
+    # per k — effective batch k*batch_size within one chip's memory
+    # envelope (train/state.make_optimizer; no reference counterpart).
+    grad_accum: int = 1
     # Reference evaluates with batch 1 (ref:train.py:206-211). Larger values
     # batch eval with cat_list-style 255 target padding — an APPROXIMATION:
     # pad pixels fold into class 0 of the dice (the reference's own

@@ -29,12 +29,24 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def make_optimizer(cfg: OptimConfig, schedule) -> optax.GradientTransformation:
-    return optax.adamw(
+def make_optimizer(cfg: OptimConfig, schedule,
+                   grad_accum: int = 1) -> optax.GradientTransformation:
+    """grad_accum > 1 wraps the optimizer in optax.MultiSteps: gradients
+    average over k consecutive train steps and AdamW applies once per k
+    (zero-updates in between), so a memory-capped per-step batch B trains
+    with effective batch k*B (see PERFORMANCE.md memory envelope).
+    Matches torch-style accumulation semantics: BN statistics and the
+    dice-loss batch term see each microbatch separately. The schedule is
+    consumed in optimizer-apply units (MultiSteps advances the inner count
+    only on applies) — size it with steps_per_epoch/k."""
+    optim = optax.adamw(
         learning_rate=schedule,
         b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
         weight_decay=cfg.weight_decay,
     )
+    if grad_accum > 1:
+        optim = optax.MultiSteps(optim, every_k_schedule=int(grad_accum))
+    return optim
 
 
 def create_train_state(rng: jax.Array, model_cfg: ModelConfig,
