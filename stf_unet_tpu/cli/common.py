@@ -87,7 +87,12 @@ def restore_for_inference(
     model = create_model(model_cfg, dtype=dtype)
 
     import jax
-    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
+    # The opt_state template must match the checkpoint's structure:
+    # --grad-accum training wraps AdamW in optax.MultiSteps (train/state),
+    # so recover the accumulation factor from the sidecar too.
+    grad_accum = saved.grad_accum if saved else 1
+    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1),
+                           grad_accum=grad_accum)
     t_total = len(seq_types) + (3 if use_pk_maps else 0)
     sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
     state = create_train_state(jax.random.key(0), model_cfg, optim, sample,

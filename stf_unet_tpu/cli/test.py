@@ -64,6 +64,14 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    help="prediction semantics for saved overlays: argmax "
                         "(unified default) or the reference binary path "
                         "sigmoid(logits[...,0]) > 0.5 (ref:test.py:161-172)")
+    p.add_argument("--tiled", action="store_true",
+                   help="segment at NATIVE resolution via sliding-window "
+                        "tiles at the trained crop geometry (serve/tiled), "
+                        "instead of the reference's lossy resize-to-crop "
+                        "(ref:train.py:70-74); metrics compare against the "
+                        "native-resolution masks")
+    p.add_argument("--tile-overlap", type=float, default=0.5,
+                   help="tile overlap fraction for --tiled (default 0.5)")
     return p.parse_args(argv)
 
 
@@ -98,6 +106,10 @@ def test(args: argparse.Namespace) -> dict:
     test_index = DatasetIndex(args.root, "test", seq_types,
                               use_pk_maps=args.use_pk_maps)
 
+    if args.tiled:
+        return _test_tiled(args, model, state, data_cfg, num_classes,
+                           test_index)
+
     print("Running inference on test set...")
     metrics = evaluate(
         state, model,
@@ -117,6 +129,66 @@ def test(args: argparse.Namespace) -> dict:
     print(f"Dice: {metrics['dice']:.4f}")
     print(f"mIoU: {metrics['mean_metrics']['miou']:.4f}")
     return metrics
+
+
+def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
+                num_classes: int, test_index: DatasetIndex) -> dict:
+    """Native-resolution test pass: sliding-window tiles at the trained
+    crop geometry (serve/tiled.TiledPredictor — one jitted program per
+    volume geometry), metrics accumulated against the NATIVE-resolution
+    masks with the same confusion/dice semantics as evaluate()."""
+    import jax
+
+    from stf_unet_tpu.data.loader import load_sample_raw_native
+    from stf_unet_tpu.metrics.confusion import (confusion_init,
+                                                confusion_report,
+                                                confusion_update,
+                                                format_confusion)
+    from stf_unet_tpu.metrics.dice import eval_dice_update, eval_dice_value
+    from stf_unet_tpu.serve.tiled import TiledPredictor
+
+    predictor = TiledPredictor(model, state.variables(), data_cfg.mean,
+                               data_cfg.std, tile=data_cfg.crop_size,
+                               overlap=args.tile_overlap)
+    conf = confusion_init(num_classes)
+    dice_cum = jnp.zeros((num_classes,), jnp.float32)
+    dice_count = jnp.zeros((), jnp.int32)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"Running tiled native-resolution inference on test set "
+          f"(tile={predictor.tile}, stride={predictor.stride})...")
+    for idx, rec in enumerate(test_index.records):
+        frames, mask, pk = load_sample_raw_native(
+            rec, use_pk_maps=args.use_pk_maps,
+            mask_format=data_cfg.mask_format)
+        img = frames if pk is None else np.concatenate([frames, pk], axis=0)
+        pred = predictor.predict(img[..., None])
+        pred_j = jnp.asarray(pred)[None]
+        target = jnp.asarray(mask.astype(np.int32))[None]
+        conf = confusion_update(conf, target, pred_j)
+        # eval_dice_update argmaxes its logits, and argmax(one_hot(pred))
+        # == pred — so the mask-level dice is exactly evaluate()'s.
+        dice_cum, dice_count = eval_dice_update(
+            dice_cum, dice_count,
+            jax.nn.one_hot(pred_j, num_classes), target, ignore_index=255)
+        raw0 = (frames[0].astype(np.float32) / 255.0
+                - data_cfg.mean) / data_cfg.std
+        save_overlay(pred, raw0, args.output_dir, idx, prefix=args.model)
+
+    mat = np.asarray(conf)
+    report = confusion_report(mat)
+    dice = float(eval_dice_value(dice_cum, dice_count))
+    print("Test Set Metrics (tiled, native resolution):")
+    print(format_confusion(mat))
+    print(f"Dice: {dice:.4f}")
+    print(f"mIoU: {report['mean_metrics']['miou']:.4f}")
+    return {
+        "dice": dice,
+        "confusion_matrix": mat,
+        "confusion_str": format_confusion(mat),
+        "global_accuracy": report["global_accuracy"],
+        "class_metrics": report["class_metrics"],
+        "mean_metrics": report["mean_metrics"],
+    }
 
 
 def main(argv: Optional[Sequence[str]] = None) -> dict:

@@ -163,6 +163,18 @@ def main(cfg: TrainConfig) -> dict:
     start_epoch = cfg.start_epoch
     best_dice = 0.0
     if cfg.resume:
+        # --grad-accum changes the opt_state STRUCTURE (optax.MultiSteps
+        # wrapper); a mismatched resume would die inside orbax with a
+        # tree-structure error — fail with the actual cause instead.
+        import json as _json
+        meta_cfg = ckpt.read_meta(cfg.resume).get("config")
+        saved_accum = (int(_json.loads(meta_cfg).get("grad_accum", k) or k)
+                       if meta_cfg else k)
+        if saved_accum != k:
+            raise ValueError(
+                f"checkpoint was trained with --grad-accum {saved_accum} "
+                f"but this run uses --grad-accum {k}; resume with the same "
+                f"value (the optimizer state structure differs)")
         state, meta = ckpt.restore(cfg.resume, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         # Carry the best score forward so a worse post-resume epoch cannot

@@ -107,3 +107,25 @@ def test_train_cli_grad_accum_end_to_end(tiny_root, tmp_path):
     assert 0.0 <= res["test"]["dice"] <= 1.0
     assert os.path.exists(os.path.join(str(tmp_path), "weights",
                                        "unet_latest_model"))
+
+    # The checkpoint's opt_state is a MultiSteps tree: inference CLIs must
+    # recover grad_accum from the config sidecar to build a matching
+    # restore template (cli/common.restore_for_inference).
+    from stf_unet_tpu.cli.test import main as test_main
+    res2 = test_main(["--model", "unet", "--model-dir",
+                      os.path.join(str(tmp_path), "weights"),
+                      "--root", str(tiny_root),
+                      "--output-dir", os.path.join(str(tmp_path), "t")])
+    assert 0.0 <= res2["dice"] <= 1.0
+
+    # Resuming with a DIFFERENT --grad-accum must fail with the actual
+    # cause, not an orbax tree-structure error.
+    with pytest.raises(ValueError, match="grad-accum"):
+        run(["--model", "unet", "--data-path", str(tiny_root),
+             "--batch-size", "2", "--epochs", "2",
+             "--model-base-c", "4",
+             "--data-base-size", "40", "--data-crop-size", "32",
+             "--grad-accum", "4",
+             "--resume", "latest",
+             "--save-dir", os.path.join(str(tmp_path), "weights"),
+             "--output-dir", os.path.join(str(tmp_path), "output")])
