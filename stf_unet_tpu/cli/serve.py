@@ -9,7 +9,7 @@ the production serving story of the TPU rebuild — see serve/engine.py
 Usage: python -m stf_unet_tpu.cli.serve --model stflstm
        --model-dir ./save_weights [--host 0.0.0.0] [--port 8421]
        [--max-batch 8] [--batch-window-ms 5] [--no-warmup]
-       [--dtype bf16|f32] [--data-parallel N]
+       [--dtype bf16|f32] [--data-parallel N] [--tiled]
 
 --data-parallel N shards request batches over N chips from ONE serving
 process (params replicated, GSPMD collectives over ICI); batch buckets
@@ -57,6 +57,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    help="how long a request waits for batch peers")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling the square-input buckets")
+    p.add_argument("--tiled", action="store_true",
+                   help="segment volumes whose geometry differs from the "
+                        "trained crop at NATIVE resolution via "
+                        "sliding-window tiles (serve/tiled) instead of a "
+                        "per-shape full-conv compile")
+    p.add_argument("--tile-overlap", type=float, default=0.5,
+                   help="tile overlap fraction for --tiled (default 0.5)")
     return p.parse_args(argv)
 
 
@@ -83,10 +90,19 @@ def build_server(args: argparse.Namespace):
 
         mesh = create_mesh(args.data_parallel)
         print(f"data-parallel serving over {mesh.devices.size} devices")
+    tiled = None
+    if args.tiled:
+        from stf_unet_tpu.serve.tiled import TiledPredictor
+
+        tiled = TiledPredictor(model, state.variables(), data_cfg.mean,
+                               data_cfg.std, tile=data_cfg.crop_size,
+                               overlap=args.tile_overlap)
+        print(f"tiled mode: non-{data_cfg.crop_size}² volumes segment at "
+              f"native resolution (stride {tiled.stride})")
     server = SegmentationServer(
         model, state.variables(), data_cfg, model_name=args.model,
         host=args.host, port=args.port, max_batch=args.max_batch,
-        window_ms=args.batch_window_ms, mesh=mesh)
+        window_ms=args.batch_window_ms, mesh=mesh, tiled=tiled)
     if not args.no_warmup:
         t_total = len(data_cfg.resolved_sequence_types) + \
             (3 if args.use_pk_maps else 0)

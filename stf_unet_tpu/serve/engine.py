@@ -40,11 +40,18 @@ class InferenceEngine:
     """
 
     def __init__(self, model, variables, mean: float, std: float,
-                 max_batch: int = 8, mesh=None):
+                 max_batch: int = 8, mesh=None, tiled=None):
         """mesh: optional 1-D data mesh (core.mesh.create_mesh) — one
         serving process owns N chips, request batches shard over the
         batch axis, params replicate. Batch buckets floor at the mesh
-        size so every shard stays non-empty (GSPMD static shapes)."""
+        size so every shard stays non-empty (GSPMD static shapes).
+
+        tiled: optional serve.tiled.TiledPredictor — volumes whose
+        spatial geometry differs from the trained tile are segmented at
+        NATIVE resolution via sliding-window tiles instead of a
+        full-conv forward at that arbitrary shape (which would compile
+        per shape and, at e.g. 520² flagship, cost ~5x the activation
+        memory). Tile-geometry inputs keep the batched fast path."""
         import jax
 
         self.model = model
@@ -64,6 +71,7 @@ class InferenceEngine:
         else:
             self._n_dev = 1
             self.variables = variables
+        self.tiled = tiled
         self._fns: Dict[Tuple[int, ...], Any] = {}
         self._jax = jax
 
@@ -101,6 +109,9 @@ class InferenceEngine:
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """images uint8 [B, T, h, w, 1] -> masks int32 [B, h, w]."""
+        if (self.tiled is not None
+                and images.shape[2:4] != (self.tiled.tile, self.tiled.tile)):
+            return np.stack([self.tiled.predict(img) for img in images])
         n = images.shape[0]
         b = self._bucket(n, self.max_batch)
         if n < b:  # pad by replicating row 0; sliced off below

@@ -70,12 +70,18 @@ class SegmentationServer:
 
     def __init__(self, model, variables, data_cfg, *, model_name: str = "",
                  host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 8, window_ms: float = 5.0, mesh=None):
+                 max_batch: int = 8, window_ms: float = 5.0, mesh=None,
+                 tiled=None, infer_timeout_s: float = 300.0):
         self.data_cfg = data_cfg
         self.model_name = model_name
+        self.tiled = tiled
+        # Generous default: a request for a not-yet-seen geometry pays its
+        # XLA compile in-line (minutes on a cold cache); warmup() covers
+        # the trained geometry but tiled-mode geometries arrive on demand.
+        self.infer_timeout_s = float(infer_timeout_s)
         self.engine = InferenceEngine(model, variables, data_cfg.mean,
                                       data_cfg.std, max_batch=max_batch,
-                                      mesh=mesh)
+                                      mesh=mesh, tiled=tiled)
         self.batcher = DynamicBatcher(self.engine, max_batch=max_batch,
                                       window_ms=window_ms)
         self.stats = ServerStats()
@@ -113,7 +119,13 @@ class SegmentationServer:
     def preprocess(self, frames: np.ndarray
                    ) -> Tuple[np.ndarray, Tuple[int, int]]:
         """uint8 [T, H, W] -> ([T, h'', w'', 1] stride-padded short-edge-
-        resized uint8, (h', w') the unpadded resized size)."""
+        resized uint8, (h', w') the unpadded resized size).
+
+        In tiled mode the volume ships at NATIVE resolution untouched —
+        the engine's TiledPredictor owns geometry (sliding-window tiles
+        at the trained crop), so resizing here would defeat it."""
+        if self.tiled is not None:
+            return frames[..., None], frames.shape[1:]
         from stf_unet_tpu.data.transforms import eval_preprocess
 
         dummy_mask = np.zeros(frames.shape[1:], np.uint8)
@@ -129,7 +141,7 @@ class SegmentationServer:
     def segment(self, frames: np.ndarray, full_size: bool = False
                 ) -> np.ndarray:
         image, (h, w) = self.preprocess(frames)
-        mask = self.batcher.infer(image)[:h, :w]
+        mask = self.batcher.infer(image, timeout=self.infer_timeout_s)[:h, :w]
         if full_size and mask.shape != frames.shape[1:]:
             from stf_unet_tpu.ops.resize import _nearest_indices
             h, w = frames.shape[1:]

@@ -305,3 +305,52 @@ def test_http_concurrent_clients_batch(server):
     for i in range(4):
         assert results[i] is not None
         np.testing.assert_array_equal(results[i], server.segment(frames[i]))
+
+
+def test_engine_tiled_routing(tiny_model, data_cfg):
+    """With a TiledPredictor attached, off-geometry volumes segment at
+    native resolution (== TiledPredictor directly); trained-crop inputs
+    keep the batched fast path (== engine without tiling)."""
+    from stf_unet_tpu.serve.tiled import TiledPredictor
+
+    model, variables = tiny_model
+    tp = TiledPredictor(model, variables, data_cfg.mean, data_cfg.std,
+                        tile=CROP, overlap=0.5)
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                          tiled=tp)
+    plain = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std)
+    rng = np.random.default_rng(7)
+
+    big = rng.integers(0, 256, (2, T_STEPS, 48, 56, 1), dtype=np.uint8)
+    masks = eng.predict(big)
+    assert masks.shape == (2, 48, 56)
+    np.testing.assert_array_equal(
+        masks, np.stack([tp.predict(b) for b in big]))
+
+    small = rng.integers(0, 256, (2, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(eng.predict(small), plain.predict(small))
+
+
+def test_http_tiled_native_resolution(tiny_model, data_cfg):
+    """Tiled serving over HTTP: a native-resolution volume comes back as a
+    native-resolution mask equal to TiledPredictor directly (no resize in
+    the server preprocess)."""
+    from stf_unet_tpu.serve.client import SegmentationClient
+    from stf_unet_tpu.serve.tiled import TiledPredictor
+
+    model, variables = tiny_model
+    tp = TiledPredictor(model, variables, data_cfg.mean, data_cfg.std,
+                        tile=CROP, overlap=0.5)
+    srv = SegmentationServer(model, variables, data_cfg, model_name="unet",
+                             port=0, max_batch=4, window_ms=2.0, tiled=tp)
+    srv.start()
+    try:
+        host, port = srv.address
+        client = SegmentationClient(f"http://{host}:{port}")
+        rng = np.random.default_rng(8)
+        frames = rng.integers(0, 256, (T_STEPS, 48, 56), dtype=np.uint8)
+        mask = client.segment(frames)
+        assert mask.shape == (48, 56)
+        np.testing.assert_array_equal(mask, tp.predict(frames[..., None]))
+    finally:
+        srv.stop()
