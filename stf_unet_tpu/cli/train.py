@@ -35,6 +35,7 @@ from stf_unet_tpu.train.checkpoint import CheckpointManager
 from stf_unet_tpu.train.early_stop import EarlyStopping
 from stf_unet_tpu.train.loop import (eval_batches_from_index, evaluate,
                                      make_train_step, train_one_epoch)
+from stf_unet_tpu.train.preempt import PreemptionGuard
 from stf_unet_tpu.train.schedule import warmup_poly_schedule
 from stf_unet_tpu.train.state import create_train_state, make_optimizer
 from stf_unet_tpu.viz.comparison import save_comparison
@@ -162,6 +163,7 @@ def main(cfg: TrainConfig) -> dict:
     ckpt = CheckpointManager(cfg.save_dir, cfg.model.model, tag_suffix)
     start_epoch = cfg.start_epoch
     best_dice = 0.0
+    resume_step = None  # set on a mid-epoch (preemption) resume
     if cfg.resume:
         # --grad-accum changes the opt_state STRUCTURE (optax.MultiSteps
         # wrapper); a mismatched resume would die inside orbax with a
@@ -176,7 +178,15 @@ def main(cfg: TrainConfig) -> dict:
                 f"but this run uses --grad-accum {k}; resume with the same "
                 f"value (the optimizer state structure differs)")
         state, meta = ckpt.restore(cfg.resume, state)
-        start_epoch = int(meta.get("epoch", -1)) + 1
+        resume_step = meta.get("step_in_epoch")
+        if resume_step is not None:
+            # Step-exact mid-epoch resume after a preemption save
+            # (train/preempt.py): re-enter the SAME epoch at the
+            # interrupted step.
+            start_epoch = int(meta.get("epoch", 0))
+            resume_step = int(resume_step)
+        else:
+            start_epoch = int(meta.get("epoch", -1)) + 1
         # Carry the best score forward so a worse post-resume epoch cannot
         # clobber the best checkpoint; prefer the best checkpoint's own meta.
         best_dice = float(meta.get("best_dice", 0.0) or 0.0)
@@ -187,8 +197,9 @@ def main(cfg: TrainConfig) -> dict:
                 with open(best_meta) as f:
                     best_dice = max(best_dice,
                                     float(_json.load(f).get("best_dice", 0.0)))
-        print(f"Resumed from {cfg.resume} at epoch {start_epoch} "
-              f"(best dice so far {best_dice:.4f})")
+        print(f"Resumed from {cfg.resume} at epoch {start_epoch}"
+              + (f" step {resume_step}" if resume_step else "")
+              + f" (best dice so far {best_dice:.4f})")
 
     if mesh is not None:
         state = mesh_lib.replicate(mesh, state)
@@ -203,88 +214,130 @@ def main(cfg: TrainConfig) -> dict:
                                  augment=augment)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()
-    for epoch in range(start_epoch, cfg.epochs):
-        if cfg.test_only:
-            break
-        if cfg.profile_dir and epoch == start_epoch:
-            from stf_unet_tpu.utils.profiling import trace
-            with trace(cfg.profile_dir):
-                state, mean_loss, lr = train_one_epoch(
+    # SIGTERM/first-SIGINT (or --stop-after-steps) stop the run at the
+    # next step boundary with a step-exact resumable checkpoint
+    # (train/preempt.py); multi-host stops are collectively agreed.
+    guard = PreemptionGuard(num_hosts, cfg.stop_after_steps)
+    preempted = False
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            if cfg.test_only:
+                break
+            start_step = (resume_step or 0) if epoch == start_epoch else 0
+            if cfg.profile_dir and epoch == start_epoch:
+                from stf_unet_tpu.utils.profiling import trace
+                with trace(cfg.profile_dir):
+                    state, mean_loss, lr, steps_done = train_one_epoch(
+                        state, train_step, loader, None, key, epoch,
+                        mesh=mesh, print_freq=cfg.print_freq,
+                        device_prefetch=cfg.data.device_prefetch,
+                        start_step=start_step,
+                        should_stop=guard.should_stop)
+            else:
+                state, mean_loss, lr, steps_done = train_one_epoch(
                     state, train_step, loader, None, key, epoch, mesh=mesh,
                     print_freq=cfg.print_freq,
-                    device_prefetch=cfg.data.device_prefetch)
-        else:
-            state, mean_loss, lr = train_one_epoch(
-                state, train_step, loader, None, key, epoch, mesh=mesh,
-                print_freq=cfg.print_freq,
-                device_prefetch=cfg.data.device_prefetch)
+                    device_prefetch=cfg.data.device_prefetch,
+                    start_step=start_step,
+                    should_stop=guard.should_stop)
 
-        # Multi-host: each process evaluates its shard of the val set and
-        # the final accumulators all-reduce (the reference's
-        # reduce_from_all_processes) — N hosts make the val epoch ~N× faster
-        # with identical global metrics. The post-training test-set pass
-        # below stays unsharded so the main process renders every sample.
-        metrics = evaluate(
-            state, model,
-            eval_batches_from_index(val_index, cfg.data,
-                                    use_pk_maps=cfg.data.use_pk_maps,
-                                    batch_size=cfg.eval_batch_size,
-                                    host_index=host_index,
-                                    num_hosts=num_hosts),
-            num_classes, data_cfg=cfg.data,
-            reduce_across_processes=num_hosts > 1)
-        dice = metrics["dice"]
-        print(metrics["confusion_str"])
-        print(f"Dice coefficient: {dice:.4f}")
-        print(f"Global accuracy: {metrics['global_accuracy']:.4f}")
-        print(f"Mean IoU: {metrics['mean_metrics']['miou']:.4f}")
-        print(f"Mean precision: {metrics['mean_metrics']['mprecision']:.4f}")
-        print(f"Mean recall: {metrics['mean_metrics']['mrecall']:.4f}")
+            if guard.triggered:
+                # Coordinated stop mid-epoch (every host broke at the same
+                # step): skip eval, persist a step-exact "latest" and exit.
+                partial = steps_done < len(loader)
+                ckpt.save("latest", state, epoch=epoch, best_dice=best_dice,
+                          config_json=cfg_json, seed=cfg.seed,
+                          step_in_epoch=steps_done if partial else None)
+                preempted = True
+                break
 
-        if jsonl is not None:
-            jsonl.log({"epoch": epoch, "train_loss": mean_loss, "lr": lr,
-                       "dice": dice,
-                       "global_acc": metrics["global_accuracy"],
-                       **metrics["mean_metrics"]})
-        if results_file:
-            # Per-epoch results block (ref:train.py:288-301 format).
-            with open(results_file, "a") as f:
-                f.write(f"[epoch: {epoch}]\n"
-                        f"train_loss: {mean_loss:.4f}\n"
-                        f"lr: {lr:.6f}\n"
-                        f"dice: {dice:.4f}\n"
-                        f"global_acc: {metrics['global_accuracy']:.4f}\n"
-                        f"mean_iou: {metrics['mean_metrics']['miou']:.4f}\n"
-                        f"mean_precision: {metrics['mean_metrics']['mprecision']:.4f}\n"
-                        f"mean_recall: {metrics['mean_metrics']['mrecall']:.4f}\n"
-                        f"{metrics['confusion_str']}\n\n")
+            # Multi-host: each process evaluates its shard of the val set and
+            # the final accumulators all-reduce (the reference's
+            # reduce_from_all_processes) — N hosts make the val epoch ~N× faster
+            # with identical global metrics. The post-training test-set pass
+            # below stays unsharded so the main process renders every sample.
+            metrics = evaluate(
+                state, model,
+                eval_batches_from_index(val_index, cfg.data,
+                                        use_pk_maps=cfg.data.use_pk_maps,
+                                        batch_size=cfg.eval_batch_size,
+                                        host_index=host_index,
+                                        num_hosts=num_hosts),
+                num_classes, data_cfg=cfg.data,
+                reduce_across_processes=num_hosts > 1)
+            dice = metrics["dice"]
+            print(metrics["confusion_str"])
+            print(f"Dice coefficient: {dice:.4f}")
+            print(f"Global accuracy: {metrics['global_accuracy']:.4f}")
+            print(f"Mean IoU: {metrics['mean_metrics']['miou']:.4f}")
+            print(f"Mean precision: {metrics['mean_metrics']['mprecision']:.4f}")
+            print(f"Mean recall: {metrics['mean_metrics']['mrecall']:.4f}")
 
-        # Saves are queued to a background worker (device->host fetch +
-        # Orbax write overlap the next epoch's compute); ckpt.restore/wait
-        # below drain the queue before the state is read back. EVERY
-        # process calls save (orbax's save runs cross-process barriers and
-        # writes each array exactly once, from the primary host — a
-        # main-only save would deadlock a multi-host run).
-        if cfg.save_best:
-            ckpt.save_async("latest", state, epoch=epoch,
-                            best_dice=best_dice, config_json=cfg_json,
-                            seed=cfg.seed)
-            if best_dice < dice:
-                ckpt.save_async("best", state, epoch=epoch,
-                                best_dice=dice, config_json=cfg_json,
+            if jsonl is not None:
+                jsonl.log({"epoch": epoch, "train_loss": mean_loss, "lr": lr,
+                           "dice": dice,
+                           "global_acc": metrics["global_accuracy"],
+                           **metrics["mean_metrics"]})
+            if results_file:
+                # Per-epoch results block (ref:train.py:288-301 format).
+                with open(results_file, "a") as f:
+                    f.write(f"[epoch: {epoch}]\n"
+                            f"train_loss: {mean_loss:.4f}\n"
+                            f"lr: {lr:.6f}\n"
+                            f"dice: {dice:.4f}\n"
+                            f"global_acc: {metrics['global_accuracy']:.4f}\n"
+                            f"mean_iou: {metrics['mean_metrics']['miou']:.4f}\n"
+                            f"mean_precision: {metrics['mean_metrics']['mprecision']:.4f}\n"
+                            f"mean_recall: {metrics['mean_metrics']['mrecall']:.4f}\n"
+                            f"{metrics['confusion_str']}\n\n")
+
+            # Saves are queued to a background worker (device->host fetch +
+            # Orbax write overlap the next epoch's compute); ckpt.restore/wait
+            # below drain the queue before the state is read back. EVERY
+            # process calls save (orbax's save runs cross-process barriers and
+            # writes each array exactly once, from the primary host — a
+            # main-only save would deadlock a multi-host run).
+            if cfg.save_best:
+                ckpt.save_async("latest", state, epoch=epoch,
+                                best_dice=best_dice, config_json=cfg_json,
                                 seed=cfg.seed)
-                if is_main:
-                    print(f"New best model saved at epoch {epoch}, "
-                          f"Dice = {dice:.4f}")
-                best_dice = dice
-        else:
-            ckpt.save_async(f"epoch{epoch}", state, epoch=epoch,
-                            best_dice=best_dice, config_json=cfg_json,
-                            seed=cfg.seed)
+                if best_dice < dice:
+                    ckpt.save_async("best", state, epoch=epoch,
+                                    best_dice=dice, config_json=cfg_json,
+                                    seed=cfg.seed)
+                    if is_main:
+                        print(f"New best model saved at epoch {epoch}, "
+                              f"Dice = {dice:.4f}")
+                    best_dice = dice
+            else:
+                ckpt.save_async(f"epoch{epoch}", state, epoch=epoch,
+                                best_dice=best_dice, config_json=cfg_json,
+                                seed=cfg.seed)
 
-        if early_stopper.step(dice):
-            print(f"Early stopping at epoch {epoch + 1}")
-            break
+            if early_stopper.step(dice):
+                print(f"Early stopping at epoch {epoch + 1}")
+                break
+
+            # A signal that landed during eval/saves stops here: this
+            # epoch's "latest" save is already queued with complete-epoch
+            # meta, so resume starts at the next epoch. Polled by every
+            # host at the same point (agreement, like the in-loop check).
+            if guard.should_stop(increment=False):
+                preempted = True
+                break
+    finally:
+        guard.uninstall()
+
+    if preempted:
+        ckpt.wait()  # flush the step-exact / end-of-epoch save
+        if num_hosts > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("preempt_ckpt_drain")
+        if is_main:
+            print(f"Preemption/stop honored: resumable checkpoint saved "
+                  f"({ckpt._path('latest')}); continue with "
+                  f"--resume latest")
+        return {"preempted": True, "best_dice": best_dice}
 
     ckpt.wait()  # drain queued saves before reading checkpoints back
     if num_hosts > 1:

@@ -139,6 +139,11 @@ class TrainConfig:
     test_only: bool = False
     generate_pk_maps: bool = False
     early_stop_patience: int = 20  # ref:train.py:171
+    # Stop gracefully after N train steps with a step-exact resumable
+    # checkpoint (0 = off) — step-boxed runs for time-boxed TPU
+    # reservations; SIGTERM/first-SIGINT trigger the same path
+    # (train/preempt.py; no reference counterpart).
+    stop_after_steps: int = 0
     save_dir: str = "./save_weights"
     output_dir: str = "./output"
     seed: int = 0

@@ -305,7 +305,12 @@ class HostLoader:
             pk = pk_canvas.reshape(b, 3, ch, cw)
         return Batch(frames=frames, masks=masks, pk=pk, sizes=sizes)
 
-    def epoch(self, epoch_num: int = 0) -> Iterator[Batch]:
+    def epoch(self, epoch_num: int = 0,
+              skip_batches: int = 0) -> Iterator[Batch]:
+        """One seeded epoch. skip_batches drops the first N batches WITHOUT
+        decoding them (the generator is lazy) — mid-epoch resume after a
+        preemption replays the identical remaining batches
+        (train/preempt.py)."""
         order = np.arange(len(self.index))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch_num)
@@ -323,6 +328,8 @@ class HostLoader:
 
         chunks = [order[i:i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]
+        if skip_batches:
+            chunks = chunks[skip_batches:]
         batches = (self._make_batch([self.index[int(i)] for i in chunk])
                    for chunk in chunks)
         yield from prefetch_iterator(batches, self.prefetch)

@@ -62,16 +62,18 @@ class CheckpointManager:
                             f"{self.model_name}_{kind}_model{self.tag_suffix}")
 
     def save(self, kind: str, state: TrainState, *, epoch: int,
-             best_dice: float, config_json: str = "", seed: int = 0) -> str:
+             best_dice: float, config_json: str = "", seed: int = 0,
+             step_in_epoch: Optional[int] = None) -> str:
         path = self._path(kind)
         self.wait()  # never interleave with queued async saves
         self._write(path, self._tree(state), epoch, best_dice, config_json,
-                    seed)
+                    seed, step_in_epoch)
         return path
 
     def save_async(self, kind: str, state: TrainState, *, epoch: int,
                    best_dice: float, config_json: str = "",
-                   seed: int = 0) -> str:
+                   seed: int = 0,
+                   step_in_epoch: Optional[int] = None) -> str:
         """Queue a save and return immediately.
 
         The train loop donates `state` into the next step, which would free
@@ -102,7 +104,8 @@ class CheckpointManager:
         path = self._path(kind)
         snap = _snapshot(self._tree(state))
         self._pending.append(self._pool.submit(
-            self._write, path, snap, epoch, best_dice, config_json, seed))
+            self._write, path, snap, epoch, best_dice, config_json, seed,
+            step_in_epoch))
         return path
 
     def _reap(self, block_until: Optional[int] = None) -> None:
@@ -142,7 +145,8 @@ class CheckpointManager:
         }
 
     def _write(self, path: str, tree: Dict[str, Any], epoch: int,
-               best_dice: float, config_json: str, seed: int) -> None:
+               best_dice: float, config_json: str, seed: int,
+               step_in_epoch: Optional[int] = None) -> None:
         tree = jax.device_get(tree)
         # Multi-process: EVERY process must call save with the same tree —
         # orbax's Checkpointer.save runs cross-process barriers internally
@@ -150,9 +154,14 @@ class CheckpointManager:
         # array once (primary host) — but the JSON sidecar is ours to gate.
         self._ckptr.save(path, tree, force=True)
         if jax.process_index() == 0:
+            meta = {"epoch": epoch, "best_dice": best_dice,
+                    "config": config_json, "seed": seed}
+            if step_in_epoch is not None:
+                # Mid-epoch preemption save: resume re-enters THIS epoch
+                # at this step (train/preempt.py).
+                meta["step_in_epoch"] = int(step_in_epoch)
             with open(os.path.join(path, META_NAME), "w") as f:
-                json.dump({"epoch": epoch, "best_dice": best_dice,
-                           "config": config_json, "seed": seed}, f)
+                json.dump(meta, f)
 
     def restore(self, kind_or_path: str, template: TrainState
                 ) -> tuple[TrainState, Dict[str, Any]]:

@@ -95,27 +95,38 @@ def train_one_epoch(state: TrainState, train_step: Callable,
                     loader: HostLoader, augment: Optional[TrainAugment],
                     root_key: jax.Array, epoch: int, *,
                     mesh=None, print_freq: int = 10,
-                    device_prefetch: int = 2
-                    ) -> Tuple[TrainState, float, float]:
+                    device_prefetch: int = 2,
+                    start_step: int = 0,
+                    should_stop: Optional[Callable[[], bool]] = None
+                    ) -> Tuple[TrainState, float, float, int]:
     """One epoch (ref:train_and_eval.py:377-411). Returns
-    (state, mean loss, last lr).
+    (state, mean loss, last lr, steps completed in this epoch).
 
     augment=None means `train_step` is a fused step (augmentation compiled
     into the same program; see make_train_step). device_prefetch > 0 moves
     the H2D transfer onto a background thread, `device_prefetch` batches
-    deep (0 disables: transfer inline, for debugging)."""
+    deep (0 disables: transfer inline, for debugging).
+
+    start_step resumes mid-epoch after a preemption: the first
+    `start_step` batches of the seeded shuffle are skipped (undecoded)
+    and the per-step PRNG keys continue from that index — identical to
+    never having been interrupted. should_stop (train/preempt.py) is
+    polled after every completed step; abandoning the loop cancels the
+    prefetch threads (prefetch_iterator's finally)."""
     logger = MetricLogger(delimiter="  ")
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
-    step_in_epoch = 0
+    step_in_epoch = start_step
     pending = None  # one-step-delayed (loss, lr) fetch: materializing a
     # device value synchronizes the host with the chip, so fetch the
     # PREVIOUS step's scalars while the current step computes.
-    device_iter = (_batch_to_device(b, mesh) for b in loader.epoch(epoch))
+    device_iter = (_batch_to_device(b, mesh)
+                   for b in loader.epoch(epoch, skip_batches=start_step))
     if device_prefetch > 0:
         device_iter = prefetch_iterator(device_iter, device_prefetch)
     for frames, masks, sizes, pk in logger.log_every(
-            device_iter, print_freq, header, total=len(loader)):
+            device_iter, print_freq, header,
+            total=len(loader) - start_step):
         key = augment_key(root_key, epoch, step_in_epoch)
         if augment is None:
             state, loss, lr = train_step(state, key, frames, masks, sizes, pk)
@@ -126,10 +137,13 @@ def train_one_epoch(state: TrainState, train_step: Callable,
             logger.update(loss=float(pending[0]), lr=float(pending[1]))
         pending = (loss, lr)
         step_in_epoch += 1
+        if should_stop is not None and should_stop():
+            break
     if pending is not None:
         logger.update(loss=float(pending[0]), lr=float(pending[1]))
-    last_lr = logger.meters["lr"].value if step_in_epoch else 0.0
-    return state, logger.meters["loss"].global_avg, float(last_lr)
+    last_lr = logger.meters["lr"].value if step_in_epoch > start_step else 0.0
+    return (state, logger.meters["loss"].global_avg, float(last_lr),
+            step_in_epoch)
 
 
 class _EvalStepCache:

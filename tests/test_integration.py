@@ -308,7 +308,7 @@ def test_device_prefetch_modes_identical(tiny_root):
         loader = HostLoader(idx, 2, shuffle=True, seed=0)
         state = create_train_state(jax.random.key(0), model_cfg, optim,
                                    sample)
-        state, loss, _ = train_one_epoch(state, step, loader, None, key, 0,
+        state, loss, _, _ = train_one_epoch(state, step, loader, None, key, 0,
                                          device_prefetch=dp)
         losses.append(loss)
     assert losses[0] == losses[1]

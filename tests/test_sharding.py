@@ -114,7 +114,7 @@ def test_train_one_epoch_under_mesh_with_device_prefetch(tmp_path):
         state = mesh_lib.replicate(
             mesh, create_train_state(jax.random.key(0), model_cfg, optim,
                                      sample))
-        state, loss, _ = train_one_epoch(state, step, loader, None, key, 0,
+        state, loss, _, _ = train_one_epoch(state, step, loader, None, key, 0,
                                          mesh=mesh, device_prefetch=dp)
         losses.append(loss)
         assert np.isfinite(loss)
