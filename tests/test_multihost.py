@@ -106,12 +106,26 @@ restore_max_diff = max(
         jax.tree_util.tree_leaves(state.params)))
 assert meta["epoch"] == 0
 
+# --- multi-host stop agreement (train/preempt.py) ----------------------
+# A preemption signal lands on ONE host; should_stop() must return the
+# globally AGREED decision on every host (otherwise the survivors would
+# deadlock inside the coordinated orbax save).
+from stf_unet_tpu.train.preempt import PreemptionGuard
+guard = PreemptionGuard(num_hosts=2)
+stop_none = guard.should_stop()   # nobody wants to stop yet
+if pid == 1:
+    guard._event.set()            # "SIGTERM" on host 1 only
+stop_one = guard.should_stop()    # ...now every host must agree True
+guard.uninstall()
+
 out = {
     "losses": losses,
     "confusion": np.asarray(metrics["confusion_matrix"]).tolist(),
     "dice": metrics["dice"],
     "restore_max_diff": restore_max_diff,
     "restored_step": int(restored.step),
+    "stop_none": bool(stop_none),
+    "stop_one": bool(stop_one),
 }
 json.dump(out, open(outfile + f".{pid}", "w"))
 if jax.process_index() == 0:
@@ -249,6 +263,10 @@ def test_two_process_training_matches_single_process(mh_root, tmp_path):
         # state bit-for-bit on EVERY process
         assert d["restore_max_diff"] == 0.0
         assert d["restored_step"] == 2
+        # stop agreement: quiet -> nobody stops; a signal on ONE host ->
+        # EVERY host agrees to stop (train/preempt.py)
+        assert d["stop_none"] is False
+        assert d["stop_one"] is True
     # both processes computed identical global metrics
     assert per_proc[0]["confusion"] == per_proc[1]["confusion"]
     assert per_proc[0]["dice"] == per_proc[1]["dice"]
