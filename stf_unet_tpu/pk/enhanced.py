@@ -100,7 +100,8 @@ def postprocess_param_maps(param_maps: np.ndarray, tissue_mask: np.ndarray,
 
 def fit_volume_enhanced(images: np.ndarray, cfg: PKConfig,
                         output_dir: Optional[str] = None,
-                        debug_output_dir: Optional[str] = None) -> np.ndarray:
+                        debug_output_dir: Optional[str] = None,
+                        mesh=None) -> np.ndarray:
     """Enhanced pipeline: enhanced preprocessing -> fit -> postprocessing
     (the test_pk_fitting.py fork's fit_volume_gpu)."""
     t_steps, h, w = images.shape
@@ -125,7 +126,7 @@ def fit_volume_enhanced(images: np.ndarray, cfg: PKConfig,
         fitted = fit_with_debug(valid, quad, cfg, debug_output_dir)
     else:
         solver = fit_lm if cfg.solver == "lm" else fit_adam
-        fitted = solver(valid, quad, cfg)
+        fitted = solver(valid, quad, cfg, mesh=mesh)
 
     maps = np.zeros((3, h * w), np.float32)
     maps[:, flat_mask] = fitted.T

@@ -38,6 +38,30 @@ CHUNK = 16384
 MIN_BUCKET = 256
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_chunk_fn(chunk_fn, mesh, cfg: PKConfig):
+    """Wrap a single-device chunk solver in shard_map over the voxel axis.
+
+    Voxels are independent (every reduction in both solvers is per-voxel),
+    so data-parallel PK fitting is an embarrassing split: each device runs
+    the UNCHANGED single-device program — including the fused Pallas
+    quadrature kernel, which GSPMD could not partition through — on its
+    local slice of the chunk. No collectives are needed or inserted.
+    Cached per (solver, mesh, cfg) so each combination compiles once.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from stf_unet_tpu.core.mesh import DATA_AXIS
+
+    def local(curves, quad):
+        return chunk_fn(curves, quad, cfg)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P()), out_specs=P(DATA_AXIS),
+        check_vma=False))
+
+
 def _bucket_size(n: int) -> int:
     """Pad target for a voxel chunk: next power of two >= n, in
     [MIN_BUCKET, CHUNK]. Bounds the number of distinct compiled solver
@@ -124,7 +148,13 @@ def _adam_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig,
         def loss_fn(p):
             pred = extended_tofts_batch(quad, p[:, 0], p[:, 1], p[:, 2])
             row_mse = jnp.mean((pred - curves) ** 2, axis=1)
-            return jnp.mean(row_mse), row_mse
+            # Fixed 1/1024 gradient scale — the reference's minibatch-mean
+            # scale (ref:pk_fitting.py:316-330, batch_size=1024). A
+            # bucket-sized mean would make the update depend (at Adam-eps
+            # level) on the padding bucket and on mesh sharding; a fixed
+            # constant makes single-device, any-bucket, and mesh-sharded
+            # runs bitwise-identical per voxel.
+            return jnp.sum(row_mse) * (1.0 / 1024.0), row_mse
         (_, rows), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return rows, g
 
@@ -228,27 +258,49 @@ def _lm_fit_chunk(curves: jax.Array, quad_tree, cfg: PKConfig) -> jax.Array:
 
 
 def _fit_chunked(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig,
-                 chunk_fn: Callable) -> np.ndarray:
+                 chunk_fn: Callable, mesh=None) -> np.ndarray:
     n = curves.shape[0]
     if n == 0:
         return np.zeros((0, 3), np.float32)
+    n_shards = 1 if mesh is None else mesh.size
+    if mesh is not None:
+        sharded_fn = _sharded_chunk_fn(chunk_fn, mesh, cfg)
+        from stf_unet_tpu.core.mesh import batch_sharding, replicated_sharding
+        in_sharding = batch_sharding(mesh, 2)
+        quad = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, replicated_sharding(mesh)), quad)
+    # Each device keeps the same per-shard working-set cap (CHUNK voxels),
+    # so an N-device mesh fits N*CHUNK voxels per dispatch — linear scaling.
+    step = CHUNK * n_shards
     out = []
-    for start in range(0, n, CHUNK):
-        chunk = curves[start:start + CHUNK]
+    for start in range(0, n, step):
+        chunk = curves[start:start + step]
         m = chunk.shape[0]
-        pad = _bucket_size(m) - m
+        # Bucket the PER-SHARD size (ceil(m / n_shards)) so the compile-count
+        # bound stays O(log2(CHUNK/MIN_BUCKET)) per (solver, mesh).
+        pad = _bucket_size(-(-m // n_shards)) * n_shards - m
         if pad > 0:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        res = chunk_fn(jnp.asarray(chunk), quad, cfg)
+        if mesh is not None:
+            x = jax.device_put(jnp.asarray(chunk), in_sharding)
+            res = sharded_fn(x, quad)
+        else:
+            res = chunk_fn(jnp.asarray(chunk), quad, cfg)
         fitted = np.asarray(res[0] if isinstance(res, tuple) else res)
         out.append(fitted[:m])
     return np.concatenate(out, axis=0)
 
 
-def fit_adam(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig) -> np.ndarray:
-    """[N, T] signal curves -> [N, 3] (Ktrans, ve, vp), Adam parity path."""
-    return _fit_chunked(curves, quad, cfg, _adam_fit_chunk)
+def fit_adam(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig,
+             mesh=None) -> np.ndarray:
+    """[N, T] signal curves -> [N, 3] (Ktrans, ve, vp), Adam parity path.
+
+    mesh: optional 1-D data mesh (core.mesh.create_mesh) — shards the voxel
+    axis across devices; results are identical to the single-device path
+    (per-voxel solver, tested bitwise on the simulated 8-device mesh).
+    """
+    return _fit_chunked(curves, quad, cfg, _adam_fit_chunk, mesh=mesh)
 
 
 def fit_adam_debug(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig
@@ -275,9 +327,15 @@ def fit_adam_debug(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig
             np.sum(losses, axis=0) / n)
 
 
-def fit_lm(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig) -> np.ndarray:
-    """[N, T] signal curves -> [N, 3], projected Levenberg-Marquardt."""
-    return _fit_chunked(curves, quad, cfg, _lm_fit_chunk)
+def fit_lm(curves: np.ndarray, quad: ToftsQuadrature, cfg: PKConfig,
+           mesh=None) -> np.ndarray:
+    """[N, T] signal curves -> [N, 3], projected Levenberg-Marquardt.
+
+    mesh: optional 1-D data mesh — voxel-axis data parallelism (see
+    fit_adam); the fused Pallas quadrature kernel runs per-shard under
+    shard_map.
+    """
+    return _fit_chunked(curves, quad, cfg, _lm_fit_chunk, mesh=mesh)
 
 
 def convert_signal_to_concentration(signal: jax.Array,

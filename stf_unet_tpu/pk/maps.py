@@ -25,12 +25,17 @@ PARAM_NAMES = ("ktrans", "ve", "vp")
 
 def fit_volume(images: np.ndarray, cfg: PKConfig,
                output_dir: Optional[str] = None,
-               debug_output_dir: Optional[str] = None) -> np.ndarray:
+               debug_output_dir: Optional[str] = None,
+               mesh=None) -> np.ndarray:
     """[T, H, W] signal volume -> [3, H, W] (Ktrans, ve, vp) maps
     (ref:fit_volume_gpu, pk_fitting.py:233-420). debug_output_dir enables
     the reference's diagnostic renders: sample voxel curves, Adam loss
     curve, auto-AIF location/curve/derivative maps
-    (ref:271-287,357-366; ref:test_pk_fitting.py:204-231)."""
+    (ref:271-287,357-366; ref:test_pk_fitting.py:204-231).
+
+    mesh: optional 1-D device mesh — shards the tissue-voxel axis of the
+    solver across chips (identical results; the debug path stays
+    single-device)."""
     t_steps, height, width = images.shape
     if t_steps != len(cfg.time_points):
         # Missing SUBk sequences were warn-and-skipped upstream
@@ -65,7 +70,7 @@ def fit_volume(images: np.ndarray, cfg: PKConfig,
         fitted = fit_with_debug(valid, quad, cfg, debug_output_dir)
     else:
         solver = fit_lm if cfg.solver == "lm" else fit_adam
-        fitted = solver(valid, quad, cfg)  # [Nvalid, 3]
+        fitted = solver(valid, quad, cfg, mesh=mesh)  # [Nvalid, 3]
     print(f"fit ({cfg.solver}) done in {time.time() - t0:.2f}s")
 
     param_maps = np.zeros((3, height * width), np.float32)
@@ -142,7 +147,8 @@ def _load_patient_frames(patient_path: str) -> Optional[np.ndarray]:
 def process_patient(patient_path: str, output_base_dir: str,
                     cfg: Optional[PKConfig] = None,
                     enhanced: bool = False,
-                    debug: bool = False) -> Optional[np.ndarray]:
+                    debug: bool = False,
+                    mesh=None) -> Optional[np.ndarray]:
     """Fit the first slice of each SUB1..8 sequence for one patient
     (ref:605-670). enhanced=True routes through the test_pk_fitting.py
     fork's Otsu/bilateral preprocessing + param-map postprocessing;
@@ -160,28 +166,44 @@ def process_patient(patient_path: str, output_base_dir: str,
     if enhanced:
         from stf_unet_tpu.pk.enhanced import fit_volume_enhanced
         maps = fit_volume_enhanced(frames, cfg, output_dir,
-                                   debug_output_dir=debug_dir)
+                                   debug_output_dir=debug_dir, mesh=mesh)
     else:
         maps = fit_volume(frames, cfg, output_dir,
-                          debug_output_dir=debug_dir)
+                          debug_output_dir=debug_dir, mesh=mesh)
     print(f"PK maps for patient {patient_id} saved to {output_dir}")
     return maps
 
 
 def process_dataset(dataset_path: str, split: str = "training",
                     cfg: Optional[PKConfig] = None,
-                    enhanced: bool = False, debug: bool = False) -> None:
-    """All patients of one split (ref:673-696)."""
+                    enhanced: bool = False, debug: bool = False,
+                    mesh=None, num_shards: int = 1,
+                    shard_index: int = 0) -> None:
+    """All patients of one split (ref:673-696).
+
+    num_shards/shard_index: patient-level work sharding for fleet runs —
+    shard i fits patients i, i+N, i+2N, ... so N independent machines (each
+    with its own chip/mesh) cover a dataset with no coordination; the
+    per-patient artifact contract makes the outputs trivially disjoint.
+    """
+    if not (0 <= shard_index < num_shards):
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
     images_dir = os.path.join(dataset_path, "seg", split, "images")
     output_base = os.path.join(dataset_path, "seg", split, "pk_maps")
     os.makedirs(output_base, exist_ok=True)
     patients = sorted(p for p in os.listdir(images_dir)
                       if os.path.isdir(os.path.join(images_dir, p)))
-    print(f"found {len(patients)} patients")
+    if num_shards > 1:
+        total = len(patients)
+        patients = patients[shard_index::num_shards]
+        print(f"found {total} patients; shard {shard_index}/{num_shards} "
+              f"takes {len(patients)}")
+    else:
+        print(f"found {len(patients)} patients")
     done = 0
     for patient in patients:
         maps = process_patient(os.path.join(images_dir, patient), output_base,
-                               cfg, enhanced=enhanced, debug=debug)
+                               cfg, enhanced=enhanced, debug=debug, mesh=mesh)
         done += maps is not None
     print(f"{split}: PK maps written for {done}/{len(patients)} patients")
     if patients and done == 0:
@@ -196,7 +218,9 @@ def generate_pk_maps_for_dataset(dataset_path: str,
                                  splits: Optional[Sequence[str]] = None,
                                  cfg: Optional[PKConfig] = None,
                                  enhanced: bool = False,
-                                 debug: bool = False
+                                 debug: bool = False,
+                                 mesh=None, num_shards: int = 1,
+                                 shard_index: int = 0
                                  ) -> Dict[str, str]:
     """All splits (ref:699-722); hooked into training via
     --generate-pk-maps (ref:train.py:165-169)."""
@@ -205,7 +229,8 @@ def generate_pk_maps_for_dataset(dataset_path: str,
     for split in splits:
         print(f"generating PK maps for {split}...")
         process_dataset(dataset_path, split, cfg, enhanced=enhanced,
-                        debug=debug)
+                        debug=debug, mesh=mesh, num_shards=num_shards,
+                        shard_index=shard_index)
         out[split] = os.path.join(dataset_path, "seg", split, "pk_maps")
     return out
 
@@ -263,8 +288,21 @@ def main(argv=None):
     ap.add_argument("--debug", action="store_true",
                     help="write diagnostic renders (sample curves, loss "
                          "curve, AIF maps) under <patient>/debug/")
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="shard the voxel axis of the solver over N devices "
+                         "(0 = all visible devices, 1 = single-device)")
+    ap.add_argument("--num-shards", type=int, default=1,
+                    help="patient-level fleet sharding: run N independent "
+                         "processes/machines, one per shard")
+    ap.add_argument("--shard-index", type=int, default=0,
+                    help="which patient shard this process fits")
     args = ap.parse_args(argv)
     cfg = PKConfig(aif_method=args.aif_method, solver=args.solver)
+    mesh = None
+    if args.data_parallel != 1:
+        from stf_unet_tpu.core.mesh import create_mesh
+        mesh = create_mesh(args.data_parallel)
+        print(f"voxel-sharded fitting over {mesh.size} devices")
     if args.compare_aif:
         compare_aif_for_dataset(args.dataset_path, args.splits.split(","),
                                 cfg)
@@ -272,7 +310,9 @@ def main(argv=None):
         generate_pk_maps_for_dataset(args.dataset_path,
                                      args.splits.split(","), cfg,
                                      enhanced=args.enhanced,
-                                     debug=args.debug)
+                                     debug=args.debug, mesh=mesh,
+                                     num_shards=args.num_shards,
+                                     shard_index=args.shard_index)
 
 
 if __name__ == "__main__":

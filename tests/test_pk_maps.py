@@ -43,3 +43,28 @@ def test_generate_pk_maps_and_consume(sub_root):
     frames, mask, pk = load_sample_raw(idx[0], use_pk_maps=True)
     assert pk.shape == (3, 32, 32)
     assert pk.max() > 0
+
+
+def test_patient_shards_partition_the_dataset(tmp_path):
+    """--num-shards/--shard-index: the two shards of a 3-patient split fit
+    disjoint patient sets whose union is the full set (fleet sharding)."""
+    from stf_unet_tpu.core.config import PKConfig
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    from stf_unet_tpu.pk.maps import process_dataset
+
+    root = make_synthetic_breadm(str(tmp_path / "b"), size=32, time_steps=8,
+                                 patients_per_split=3, slices_per_patient=1,
+                                 sequence_prefix="SUB")
+    cfg = PKConfig(solver="lm", lm_iters=5)
+    out_dir = os.path.join(root, "seg", "training", "pk_maps")
+
+    process_dataset(root, "training", cfg, num_shards=2, shard_index=0)
+    shard0 = set(os.listdir(out_dir))
+    process_dataset(root, "training", cfg, num_shards=2, shard_index=1)
+    both = set(os.listdir(out_dir))
+
+    assert shard0 == {"P000", "P002"}
+    assert both == {"P000", "P001", "P002"}
+
+    with pytest.raises(ValueError):
+        process_dataset(root, "training", cfg, num_shards=2, shard_index=2)
