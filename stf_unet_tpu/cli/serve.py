@@ -96,9 +96,11 @@ def build_server(args: argparse.Namespace):
 
         tiled = TiledPredictor(model, state.variables(), data_cfg.mean,
                                data_cfg.std, tile=data_cfg.crop_size,
-                               overlap=args.tile_overlap)
+                               overlap=args.tile_overlap, mesh=mesh)
         print(f"tiled mode: non-{data_cfg.crop_size}² volumes segment at "
-              f"native resolution (stride {tiled.stride})")
+              f"native resolution (stride {tiled.stride}"
+              + (f", tile batch sharded over {mesh.devices.size} devices"
+                 if mesh is not None else "") + ")")
     server = SegmentationServer(
         model, state.variables(), data_cfg, model_name=args.model,
         host=args.host, port=args.port, max_batch=args.max_batch,

@@ -71,10 +71,21 @@ class TiledPredictor:
 
     def __init__(self, model, variables, mean: float, std: float,
                  tile: int = 224, overlap: float = 0.5,
-                 sigma_frac: float = 0.125, max_tile_batch: int = 16):
+                 sigma_frac: float = 0.125, max_tile_batch: int = 16,
+                 mesh=None):
+        """mesh: optional 1-D data mesh — the tile batch of each volume
+        shards over the mesh devices (a 520² volume's 16 tiles become 2
+        per chip on an 8-chip host), cutting per-volume latency instead of
+        just throughput; params replicate, the blend's scatter-adds gather
+        the sharded logits via GSPMD collectives. Identical masks to the
+        single-device program (tested on the simulated 8-device mesh)."""
         if not 0.0 <= float(overlap) < 1.0:
             raise ValueError(f"overlap must be in [0, 1), got {overlap}")
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from stf_unet_tpu.core.mesh import replicate
+            variables = replicate(mesh, variables)
         self.variables = variables
         self.mean = float(mean)
         self.std = float(std)
@@ -94,6 +105,12 @@ class TiledPredictor:
             from stf_unet_tpu.models.registry import preprocess_input
 
             model, mean, std = self.model, self.mean, self.std
+            mesh = self.mesh
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from stf_unet_tpu.core.mesh import DATA_AXIS
+                tile_sharding = NamedSharding(mesh, P(DATA_AXIS))
             t_steps, h, w, _ = shape
             tile = self.tile
             ph, pw = max(tile - h, 0), max(tile - w, 0)
@@ -117,6 +134,9 @@ class TiledPredictor:
                     tiles = jnp.stack(
                         [x[:, y:y + tile, xo:xo + tile, :]
                          for (y, xo) in group])  # [n, T, tile, tile, 1]
+                    if mesh is not None:
+                        tiles = jax.lax.with_sharding_constraint(
+                            tiles, tile_sharding)
                     logits = model.apply(
                         variables, preprocess_input(tiles, model),
                         train=False)["out"].astype(jnp.float32)

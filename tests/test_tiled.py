@@ -162,3 +162,20 @@ def test_cli_test_tiled_end_to_end(tmp_path, synthetic_root):
     # 4 test samples at NATIVE 64x64 (the resize path would count 32x32)
     assert mat.sum() == 4 * 64 * 64
     assert len(glob.glob(str(tmp_path / "tiled_out" / "unet_*.png"))) == 4
+
+
+def test_mesh_sharded_tiles_match_single_device(tiny_model):
+    """TiledPredictor(mesh=...): the tile batch shards over the 8-device
+    mesh (per-volume latency scaling); the blended mask must be identical
+    to the single-device program. Exercises an uneven final chunk (10
+    tiles in groups of 8 -> remainder 2 < mesh size)."""
+    from stf_unet_tpu.core.mesh import create_mesh
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (T_STEPS, 64, 72, 1), dtype=np.uint8)
+    kw = dict(mean=0.5, std=0.25, tile=TILE, overlap=0.5, max_tile_batch=8)
+    single = TiledPredictor(model, variables, **kw).predict(img)
+    sharded = TiledPredictor(model, variables, mesh=create_mesh(8),
+                             **kw).predict(img)
+    np.testing.assert_array_equal(sharded, single)
