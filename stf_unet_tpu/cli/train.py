@@ -117,6 +117,14 @@ def main(cfg: TrainConfig) -> dict:
         print(f"Data-parallel mesh over {mesh.devices.size} devices")
 
     batch_size = cfg.batch_size  # GLOBAL batch
+    if batch_size == 0:  # --batch-size auto
+        from stf_unet_tpu.train.autobatch import pick_batch_size
+        t_total_probe = len(seq_types) + (cfg.model.pk_channels
+                                          if cfg.data.use_pk_maps else 0)
+        batch_size = pick_batch_size(
+            cfg, t_total_probe,
+            n_shards=mesh.devices.size if mesh is not None else 1,
+            budget_bytes=int(cfg.auto_batch_budget_gb * 2**30) or None)
     if mesh is not None:
         batch_size = mesh_lib.pad_batch_to_multiple(batch_size, mesh.devices.size)
     # Each host loads its slice of the global batch; shard_batch assembles

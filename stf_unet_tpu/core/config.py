@@ -107,7 +107,13 @@ class TrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
 
+    # Global batch; 0 (CLI spelling: --batch-size auto) sizes it from the
+    # XLA compiler's memory analysis of the actual train step against the
+    # device's HBM budget (train/autobatch.py).
     batch_size: int = 16
+    # Per-device memory budget in GiB for --batch-size auto; 0 = the
+    # device's reported limit (required on backends that report none).
+    auto_batch_budget_gb: float = 0.0
     # Gradient accumulation: average grads over k steps, apply AdamW once
     # per k — effective batch k*batch_size within one chip's memory
     # envelope (train/state.make_optimizer; no reference counterpart).
@@ -196,6 +202,10 @@ def _parse_bool(s: str) -> bool:
     return s.lower() in ("1", "true", "yes")
 
 
+def _parse_int_auto(s: str) -> int:
+    return 0 if s.strip().lower() == "auto" else int(s)
+
+
 def _add_dataclass_args(parser: argparse.ArgumentParser, dc: Any, prefix: str = "") -> None:
     for f in dataclasses.fields(dc):
         if dataclasses.is_dataclass(f.type) or dataclasses.is_dataclass(getattr(dc, f.name, None)):
@@ -208,6 +218,9 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc: Any, prefix: str = 
             # ref:train.py:102-118); an explicit true/false value also works.
             parser.add_argument(name, type=_parse_bool, default=None,
                                 nargs="?", const=True, metavar="BOOL")
+        elif f.name == "batch_size" and prefix == "":
+            # --batch-size auto -> 0 sentinel (train/autobatch sizing).
+            parser.add_argument(name, type=_parse_int_auto, default=None)
         elif isinstance(default, (int, float, str)):
             parser.add_argument(name, type=type(default), default=None)
         else:

@@ -1,0 +1,114 @@
+"""Automatic batch sizing from the XLA compiler's memory analysis.
+
+`--batch-size auto` on the train CLI: instead of trial-OOM runs (the usual
+torch workflow; the reference hard-codes batch sizes, ref:train.py:99),
+AOT-compile the REAL train step — the exact model/optimizer/remat/dtype
+configuration about to run — at two probe batches and read
+`compiled.memory_analysis()`. Temp bytes (activations + workspace) scale
+linearly in batch while state bytes (params, Adam moments, BN stats) are
+constant, so two points give bytes/sample and the largest batch under the
+device budget. AOT lowering never executes, so probing costs two compiles
+and no device memory.
+
+The returned batch is the largest power of two that fits (predictable MXU
+tiling, stable step-time scaling — PERFORMANCE.md batch-scaling table),
+scaled by the mesh shard count for data-parallel runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+DEFAULT_BUDGET_FRAC = 0.9  # leave headroom for fragmentation + async d2h
+
+
+def device_budget_bytes() -> Optional[int]:
+    """The accelerator's usable memory, or None when the backend does not
+    report one (CPU; then an explicit budget is required)."""
+    import jax
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    limit = stats.get("bytes_limit")
+    return int(limit) if limit else None
+
+
+def measure_step_memory(cfg, t_total: int, batch: int) -> Tuple[int, int]:
+    """-> (temp_bytes, state_bytes) of the bf16/f32 train step at `batch`,
+    from AOT compilation of the exact step cli/train would run."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.dtypes import make_policy
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    policy = make_policy(cfg.amp)
+    model_cfg = dataclasses.replace(cfg.model, time_steps=t_total
+                                    - (cfg.model.pk_channels
+                                       if cfg.data.use_pk_maps else 0))
+    model = create_model(model_cfg, dtype=policy.compute_dtype
+                         if cfg.amp else None)
+    # Schedule values don't affect memory; a placeholder keeps this
+    # independent of the loader (whose size depends on the answer).
+    sched = warmup_poly_schedule(cfg.optim.lr, 100, 100)
+    optim = make_optimizer(cfg.optim, sched,
+                           grad_accum=max(int(cfg.grad_accum), 1))
+    crop = cfg.data.crop_size
+    x = jnp.zeros((batch, t_total, crop, crop, 1), jnp.float32)
+    y = jnp.zeros((batch, crop, crop), jnp.int32)
+    state = create_train_state(jax.random.key(0), model_cfg, optim, x)
+    step = make_train_step(model, optim, sched, model_cfg.total_classes)
+    ma = step.lower(state, x, y).compile().memory_analysis()
+    if ma is None:
+        raise RuntimeError("backend reports no memory analysis")
+    sample_bytes = t_total * crop * crop * 4 + crop * crop * 4
+    state_bytes = int(ma.argument_size_in_bytes) - batch * sample_bytes
+    return int(ma.temp_size_in_bytes), state_bytes
+
+
+def pick_batch_size(cfg, t_total: int, n_shards: int = 1,
+                    budget_bytes: Optional[int] = None,
+                    frac: float = DEFAULT_BUDGET_FRAC,
+                    probes: Tuple[int, int] = (2, 4),
+                    cap: int = 1024) -> int:
+    """Largest power-of-two PER-DEVICE batch whose train step fits
+    `frac * budget`, times `n_shards` -> the global batch.
+
+    budget_bytes: per-device memory; defaults to the device's reported
+    limit (raises on backends that report none, e.g. CPU).
+    """
+    if budget_bytes is None:
+        budget_bytes = device_budget_bytes()
+        if budget_bytes is None:
+            raise RuntimeError(
+                "--batch-size auto: this backend reports no memory limit; "
+                "set an explicit --batch-size")
+    b0, b1 = probes
+    t0, state_bytes = measure_step_memory(cfg, t_total, b0)
+    t1, _ = measure_step_memory(cfg, t_total, b1)
+    per_sample = (t1 - t0) / (b1 - b0)
+    fixed = t0 - per_sample * b0
+    usable = frac * budget_bytes - state_bytes - fixed
+    if per_sample <= 0:
+        raise RuntimeError(
+            f"memory analysis degenerate (per-sample {per_sample} B) — "
+            "set an explicit --batch-size")
+    max_batch = int(usable // per_sample)
+    if max_batch < 1:
+        raise RuntimeError(
+            f"--batch-size auto: even batch 1 does not fit "
+            f"({(state_bytes + fixed + per_sample) / 2**30:.2f} GiB needed, "
+            f"budget {frac * budget_bytes / 2**30:.2f} GiB) — try "
+            "--model-remat true or a smaller --data-crop-size")
+    batch = 1
+    while batch * 2 <= min(max_batch, cap):
+        batch *= 2
+    print(f"auto batch: {per_sample / 2**20:.1f} MiB/sample + "
+          f"{(state_bytes + fixed) / 2**30:.2f} GiB fixed against "
+          f"{frac * budget_bytes / 2**30:.2f} GiB budget -> "
+          f"{batch}/device" + (f" x {n_shards} shards = {batch * n_shards}"
+                               if n_shards > 1 else ""))
+    return batch * n_shards
