@@ -72,6 +72,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "native-resolution masks")
     p.add_argument("--tile-overlap", type=float, default=0.5,
                    help="tile overlap fraction for --tiled (default 0.5)")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="eval batch size (shape-bucketed batching; the "
+                        "reference evaluates at 1, ref:train.py:206-211)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each eval batch over N devices "
+                        "(0 = all visible; identical metrics)")
     return p.parse_args(argv)
 
 
@@ -110,19 +116,28 @@ def test(args: argparse.Namespace) -> dict:
         return _test_tiled(args, model, state, data_cfg, num_classes,
                            test_index)
 
+    mesh = None
+    if args.data_parallel != 1:
+        from stf_unet_tpu.core.mesh import create_mesh
+        mesh = create_mesh(args.data_parallel)
+        print(f"eval batches sharded over {mesh.size} devices")
+
     print("Running inference on test set...")
     metrics = evaluate(
         state, model,
         eval_batches_from_index(test_index, data_cfg,
-                                use_pk_maps=args.use_pk_maps),
-        num_classes, collect_outputs=True, data_cfg=data_cfg)
+                                use_pk_maps=args.use_pk_maps,
+                                batch_size=args.batch_size),
+        num_classes, collect_outputs=True, data_cfg=data_cfg, mesh=mesh)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    for idx, (logits, (image, _)) in enumerate(zip(
-            metrics["outputs"], metrics["batches"])):
-        pred = predict_mask(logits[0], args.pred_mode)
-        save_overlay(pred, image[0, 0, :, :, 0], args.output_dir, idx,
-                     prefix=args.model)
+    idx = 0
+    for logits, (image, _) in zip(metrics["outputs"], metrics["batches"]):
+        for j in range(logits.shape[0]):
+            pred = predict_mask(logits[j], args.pred_mode)
+            save_overlay(pred, image[j, 0, :, :, 0], args.output_dir, idx,
+                         prefix=args.model)
+            idx += 1
 
     print("Test Set Metrics:")
     print(metrics["confusion_str"])

@@ -68,6 +68,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     ap.add_argument("--name", type=str, default="validation")
     ap.add_argument("--split", type=str, default="val",
                     choices=["train", "val", "test"])
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="shard each batch over N devices "
+                         "(0 = all visible; identical metrics)")
     args = ap.parse_args(argv)
 
     config = load_or_create_config(args.config)
@@ -99,6 +102,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     state, _ = ckpt.restore(kind, state)
     variables = state.variables()
 
+    mesh = None
+    if args.data_parallel != 1:
+        from stf_unet_tpu.core import mesh as mesh_lib
+        mesh = mesh_lib.create_mesh(args.data_parallel)
+        variables = mesh_lib.replicate(mesh, variables)
+        print(f"batches sharded over {mesh.size} devices")
+
     index = DatasetIndex(args.root, args.split, seqs,
                          use_pk_maps=data_cfg.use_pk_maps)
 
@@ -118,6 +128,11 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             index, data_cfg, use_pk_maps=data_cfg.use_pk_maps,
             batch_size=int(config["batch_size"]))):
         image_j = jnp.asarray(image)
+        if mesh is not None:
+            from stf_unet_tpu.core import mesh as mesh_lib
+            image_j = (mesh_lib.shard_batch(mesh, image_j)
+                       if image_j.shape[0] % mesh.size == 0
+                       else mesh_lib.replicate(mesh, image_j))
         shape = tuple(image_j.shape)
         if shape not in fwd_cache:
             from stf_unet_tpu.data.transforms import normalize

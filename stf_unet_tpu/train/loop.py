@@ -197,8 +197,8 @@ class _EvalStepCache:
 
 def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
              print_freq: int = 100, collect_outputs: bool = False,
-             data_cfg=None, reduce_across_processes: bool = False
-             ) -> Dict[str, Any]:
+             data_cfg=None, reduce_across_processes: bool = False,
+             mesh=None) -> Dict[str, Any]:
     """Validation/test pass (ref:train_and_eval.py:316-374).
 
     `eval_batches` yields (image [B,T,h,w,1], target [B,h,w]) numpy/JAX
@@ -220,11 +220,21 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     (eval_batches_from_index(host_index=..., num_hosts=...)) — every
     process then returns the same GLOBAL metrics. Leave False when every
     process saw the full set (each already has global metrics).
+
+    mesh: optional 1-D data mesh — each eval batch's sample axis shards
+    over the devices (variables/accumulators replicate; GSPMD inserts the
+    metric reductions). Batches not divisible by the mesh size (the odd
+    bucket remainder) are placed replicated instead — identical metrics
+    either way, tested on the simulated 8-device mesh.
     """
     variables = state.variables()
     conf = confusion_init(num_classes)
     dice_cum = jnp.zeros((num_classes,), jnp.float32)
     dice_count = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        variables = mesh_lib.replicate(mesh, variables)
+        conf, dice_cum, dice_count = mesh_lib.replicate(
+            mesh, (conf, dice_cum, dice_count))
     stepper = _EvalStepCache(
         model, num_classes,
         mean=None if data_cfg is None else data_cfg.mean,
@@ -235,8 +245,17 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     # H2D on a background thread (1 deep): batch N+1 transfers while batch
     # N's eval step runs — the eval-side twin of train_one_epoch's
     # device_prefetch.
+    def _to_device(img, tgt):
+        if mesh is not None and np.shape(img)[0] % mesh.size == 0:
+            return mesh_lib.shard_batch(mesh, (jnp.asarray(img),
+                                               jnp.asarray(tgt)))
+        if mesh is not None:
+            return mesh_lib.replicate(mesh, (jnp.asarray(img),
+                                             jnp.asarray(tgt)))
+        return jnp.asarray(img), jnp.asarray(tgt)
+
     device_batches = prefetch_iterator(
-        ((jnp.asarray(img), jnp.asarray(tgt)) for img, tgt in eval_batches), 1)
+        (_to_device(img, tgt) for img, tgt in eval_batches), 1)
     for image, target in logger.log_every(device_batches, print_freq, "Test:"):
         logits, conf, dice_cum, dice_count = stepper(
             variables, image, target, conf, dice_cum, dice_count)

@@ -184,3 +184,30 @@ def test_prefetch_abandoned_consumer_stops_producer():
     # producer must have exited; no runaway production past the queue depth
     assert threading.active_count() <= before + 1
     assert len(produced) < 20
+
+
+def test_mesh_sharded_evaluate_matches_single_device(two_shape_root):
+    """evaluate(mesh=...) must reproduce the unmeshed metrics exactly.
+
+    The fixture has two shape buckets of 4 samples each. With a 4-device
+    mesh and batch_size=4 every batch is divisible -> the true sharded
+    placement; with an 8-device mesh batch 4 is indivisible -> the
+    replicated fallback. Both must give integer-equal confusion and
+    float-equal dice."""
+    from stf_unet_tpu.core.mesh import create_mesh
+
+    data_cfg = DataConfig(data_path=two_shape_root, crop_size=16)
+    index = DatasetIndex(two_shape_root, "train", SEQS)
+    state, model = _tiny_state()
+
+    base = evaluate(state, model,
+                    eval_batches_from_index(index, data_cfg, batch_size=4),
+                    2, data_cfg=data_cfg)
+    for n_dev in (4, 8):  # sharded placement / replicated fallback
+        meshed = evaluate(state, model,
+                          eval_batches_from_index(index, data_cfg,
+                                                  batch_size=4), 2,
+                          data_cfg=data_cfg, mesh=create_mesh(n_dev))
+        np.testing.assert_array_equal(meshed["confusion_matrix"],
+                                      base["confusion_matrix"])
+        assert meshed["dice"] == pytest.approx(base["dice"], abs=1e-6)
