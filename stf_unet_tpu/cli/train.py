@@ -272,7 +272,13 @@ def main(cfg: TrainConfig) -> dict:
                                         host_index=host_index,
                                         num_hosts=num_hosts),
                 num_classes, data_cfg=cfg.data,
-                reduce_across_processes=num_hosts > 1)
+                reduce_across_processes=num_hosts > 1,
+                # Single-process only: multi-host val is already sharded at
+                # the HOST level above, and sharding those per-host batches
+                # over the global mesh would make the cross-process
+                # all-reduce double-count.
+                mesh=mesh if (cfg.eval_batch_size > 1 and num_hosts == 1)
+                else None)
             dice = metrics["dice"]
             print(metrics["confusion_str"])
             print(f"Dice coefficient: {dice:.4f}")

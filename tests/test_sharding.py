@@ -119,3 +119,22 @@ def test_train_one_epoch_under_mesh_with_device_prefetch(tmp_path):
         losses.append(loss)
         assert np.isfinite(loss)
     assert losses[0] == losses[1]
+
+
+def test_train_cli_data_parallel_with_meshed_eval(tmp_path):
+    """Full train CLI under --data-parallel with eval_batch_size > 1: the
+    val epoch rides evaluate(mesh=) (single-process path) and the run
+    completes with finite metrics."""
+    from stf_unet_tpu.cli import train as cli_train
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+    root = make_synthetic_breadm(str(tmp_path / "d"), size=48, time_steps=8)
+    r = cli_train.run([
+        "--data-path", root, "--model", "unet", "--epochs", "1",
+        "--batch-size", "8", "--data-parallel", "0",
+        "--eval-batch-size", "4", "--model-base-c", "4",
+        "--data-base-size", "40", "--data-crop-size", "32",
+        "--save-dir", str(tmp_path / "w"),
+        "--output-dir", str(tmp_path / "o")])
+    assert 0.0 <= r["best_dice"] <= 1.0
+    assert np.isfinite(r["test"]["dice"])
