@@ -112,7 +112,18 @@ def main(cfg: TrainConfig) -> dict:
 
     mesh = None
     n_dev = len(jax.devices())
-    if cfg.data_parallel != 1 and n_dev > 1:
+    if cfg.spatial_parallel > 1:
+        if num_hosts > 1:
+            raise SystemExit("error: --spatial-parallel is single-process "
+                             "only (use --data-parallel across hosts)")
+        from stf_unet_tpu.parallel import create_2d_mesh
+        n_space = cfg.spatial_parallel
+        n_data = (cfg.data_parallel if cfg.data_parallel > 1
+                  else max(n_dev // n_space, 1))
+        mesh = create_2d_mesh(n_data, n_space)
+        print(f"2-D mesh: {n_data} data x {n_space} spatial shards "
+              "(image rows shard over 'space'; GSPMD conv halo exchanges)")
+    elif cfg.data_parallel != 1 and n_dev > 1:
         mesh = mesh_lib.create_mesh(cfg.data_parallel)
         print(f"Data-parallel mesh over {mesh.devices.size} devices")
 
@@ -123,10 +134,12 @@ def main(cfg: TrainConfig) -> dict:
                                           if cfg.data.use_pk_maps else 0)
         batch_size = pick_batch_size(
             cfg, t_total_probe,
-            n_shards=mesh.devices.size if mesh is not None else 1,
+            n_shards=(mesh.shape[mesh_lib.DATA_AXIS] if mesh is not None
+                      else 1),
             budget_bytes=int(cfg.auto_batch_budget_gb * 2**30) or None)
     if mesh is not None:
-        batch_size = mesh_lib.pad_batch_to_multiple(batch_size, mesh.devices.size)
+        batch_size = mesh_lib.pad_batch_to_multiple(
+            batch_size, mesh.shape[mesh_lib.DATA_AXIS])
     # Each host loads its slice of the global batch; shard_batch assembles
     # the global array from the per-process slices.
     local_batch = max(1, batch_size // num_hosts)

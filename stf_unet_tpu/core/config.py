@@ -155,6 +155,11 @@ class TrainConfig:
     seed: int = 0
     # Device mesh: number of data-parallel shards; 0 = all visible devices.
     data_parallel: int = 0
+    # Spatial parallelism: shard image rows over this many devices in a
+    # 2-D ('data', 'space') mesh — for crops too large for one chip's
+    # activations (parallel/spatial.py; GSPMD conv halo exchanges).
+    # Single-process only. 1 = off.
+    spatial_parallel: int = 1
     # Initialize jax.distributed for multi-host pods (core/distributed.py).
     multihost: bool = False
     # Observability (SURVEY §5): structured JSONL metrics alongside the

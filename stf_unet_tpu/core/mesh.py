@@ -18,6 +18,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+# Optional second mesh axis sharding image rows (parallel/spatial.py);
+# shard_batch recognises it and shards H as well as batch.
+SPACE_AXIS = "space"
 
 
 def create_mesh(n_data: int = 0, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -42,8 +45,18 @@ def create_mesh(n_data: int = 0, devices: Optional[Sequence[jax.Device]] = None)
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard dim 0 (batch) over the data axis; replicate the rest.
+
+    On a 2-D ('data', 'space') mesh the image-row axis shards over
+    'space' as well: H is axis 2 for [B, T, H, W, 1] volumes and axis 1
+    for [B, H, W(,C)] targets/images — GSPMD inserts the conv halo
+    exchanges (parallel/spatial.py; validated in tests/test_spatial.py).
+    """
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if SPACE_AXIS in mesh.axis_names and ndim >= 3:
+        spec[2 if ndim >= 5 else 1] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -22,9 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stf_unet_tpu.core.mesh import DATA_AXIS
-
-SPACE_AXIS = "space"
+from stf_unet_tpu.core.mesh import DATA_AXIS, SPACE_AXIS
 
 
 def create_2d_mesh(n_data: int, n_space: int,

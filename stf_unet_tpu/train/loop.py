@@ -246,7 +246,8 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     # N's eval step runs — the eval-side twin of train_one_epoch's
     # device_prefetch.
     def _to_device(img, tgt):
-        if mesh is not None and np.shape(img)[0] % mesh.size == 0:
+        if (mesh is not None
+                and np.shape(img)[0] % mesh.shape[mesh_lib.DATA_AXIS] == 0):
             return mesh_lib.shard_batch(mesh, (jnp.asarray(img),
                                                jnp.asarray(tgt)))
         if mesh is not None:
