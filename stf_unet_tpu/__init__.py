@@ -14,3 +14,19 @@ read-only reference checkout.
 """
 
 __version__ = "0.1.0"
+
+# Honor STF_UNET_PLATFORM as a hard platform pin. JAX_PLATFORMS alone can
+# be overridden by eagerly self-registering PJRT plugins (observed with
+# the axon TPU plugin: a subprocess exported JAX_PLATFORMS=cpu yet hung in
+# the plugin's backend init when the chip link was down); jax.config wins
+# over plugin discovery, so CLIs/tests spawned with this variable are
+# immune to plugin ordering and dead-link hangs.
+import os as _os
+
+if _os.environ.get("STF_UNET_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["STF_UNET_PLATFORM"])
+    except RuntimeError:
+        pass  # backend already initialized by the embedding process

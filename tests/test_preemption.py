@@ -128,6 +128,9 @@ def test_sigterm_saves_resumable_checkpoint(preempt_root, tmp_path):
     """A real SIGTERM mid-training exits 0 with a resumable checkpoint."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # The env var alone is insufficient when the axon plugin's backend
+    # init hangs on a dead tunnel; the package-level pin is authoritative.
+    env["STF_UNET_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.Popen(
         [sys.executable, "-m", "stf_unet_tpu.cli.train",
