@@ -64,6 +64,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "per-shape full-conv compile")
     p.add_argument("--tile-overlap", type=float, default=0.5,
                    help="tile overlap fraction for --tiled (default 0.5)")
+    p.add_argument("--warmup-geometries", type=str, default="",
+                   help="comma-separated HxW native-resolution geometries "
+                        "to pre-compile for --tiled at startup (e.g. "
+                        "520x520,448x448) — the first request at a cold "
+                        "geometry otherwise pays the XLA compile in-line")
     return p.parse_args(argv)
 
 
@@ -110,6 +115,13 @@ def build_server(args: argparse.Namespace):
             (3 if args.use_pk_maps else 0)
         print("warming up (compiling batch buckets)...")
         server.engine.warmup(t_total, data_cfg.crop_size, data_cfg.crop_size)
+        if tiled is not None and args.warmup_geometries:
+            import numpy as np
+            for geom in args.warmup_geometries.split(","):
+                h, w = (int(v) for v in geom.lower().split("x"))
+                print(f"warming up tiled geometry {h}x{w} "
+                      f"({tiled.num_tiles(h, w)} tiles)...")
+                tiled.predict(np.zeros((t_total, h, w, 1), np.uint8))
     return server
 
 

@@ -354,3 +354,19 @@ def test_http_tiled_native_resolution(tiny_model, data_cfg):
         np.testing.assert_array_equal(mask, tp.predict(frames[..., None]))
     finally:
         srv.stop()
+
+
+def test_tiled_warmup_geometries_precompile(tiny_model, data_cfg):
+    """--warmup-geometries pre-compiles the tiled program for each listed
+    native geometry so the first request never pays the compile in-line."""
+    from stf_unet_tpu.serve.tiled import TiledPredictor
+
+    model, variables = tiny_model
+    tp = TiledPredictor(model, variables, data_cfg.mean, data_cfg.std,
+                        tile=CROP)
+    assert not tp._fns
+    # the serve CLI warmup loop, inlined
+    for geom in "40x48,52x36".split(","):
+        h, w = (int(v) for v in geom.split("x"))
+        tp.predict(np.zeros((T_STEPS, h, w, 1), np.uint8))
+    assert set(tp._fns) == {(T_STEPS, 40, 48, 1), (T_STEPS, 52, 36, 1)}
