@@ -110,15 +110,27 @@ def build_server(args: argparse.Namespace):
         model, state.variables(), data_cfg, model_name=args.model,
         host=args.host, port=args.port, max_batch=args.max_batch,
         window_ms=args.batch_window_ms, mesh=mesh, tiled=tiled)
+    geometries = [g.strip() for g in args.warmup_geometries.split(",")
+                  if g.strip()]
+    if geometries and tiled is None:
+        print("warning: --warmup-geometries ignored without --tiled")
+    if geometries and args.no_warmup:
+        print("warning: --warmup-geometries ignored with --no-warmup — "
+              "the first request at each geometry pays the compile in-line")
     if not args.no_warmup:
         t_total = len(data_cfg.resolved_sequence_types) + \
             (3 if args.use_pk_maps else 0)
         print("warming up (compiling batch buckets)...")
         server.engine.warmup(t_total, data_cfg.crop_size, data_cfg.crop_size)
-        if tiled is not None and args.warmup_geometries:
+        if tiled is not None:
             import numpy as np
-            for geom in args.warmup_geometries.split(","):
-                h, w = (int(v) for v in geom.lower().split("x"))
+            for geom in geometries:
+                try:
+                    h, w = (int(v) for v in geom.lower().split("x"))
+                except ValueError:
+                    raise SystemExit(
+                        f"error: bad --warmup-geometries entry {geom!r} "
+                        "(expected HxW, e.g. 520x520)")
                 print(f"warming up tiled geometry {h}x{w} "
                       f"({tiled.num_tiles(h, w)} tiles)...")
                 tiled.predict(np.zeros((t_total, h, w, 1), np.uint8))

@@ -112,15 +112,21 @@ def test(args: argparse.Namespace) -> dict:
     test_index = DatasetIndex(args.root, "test", seq_types,
                               use_pk_maps=args.use_pk_maps)
 
-    if args.tiled:
-        return _test_tiled(args, model, state, data_cfg, num_classes,
-                           test_index)
-
     mesh = None
     if args.data_parallel != 1:
         from stf_unet_tpu.core.mesh import create_mesh
         mesh = create_mesh(args.data_parallel)
-        print(f"eval batches sharded over {mesh.size} devices")
+        print("tile batches sharded over" if args.tiled
+              else "eval batches sharded over", f"{mesh.size} devices")
+
+    if args.tiled:
+        return _test_tiled(args, model, state, data_cfg, num_classes,
+                           test_index, mesh=mesh)
+
+    if mesh is not None and args.batch_size % mesh.size != 0:
+        print(f"warning: --batch-size {args.batch_size} is not a multiple "
+              f"of {mesh.size} — batches run replicated (no sharding "
+              "speedup); pick a divisible batch size")
 
     print("Running inference on test set...")
     metrics = evaluate(
@@ -147,7 +153,8 @@ def test(args: argparse.Namespace) -> dict:
 
 
 def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
-                num_classes: int, test_index: DatasetIndex) -> dict:
+                num_classes: int, test_index: DatasetIndex,
+                mesh=None) -> dict:
     """Native-resolution test pass: sliding-window tiles at the trained
     crop geometry (serve/tiled.TiledPredictor — one jitted program per
     volume geometry), metrics accumulated against the NATIVE-resolution
@@ -164,7 +171,7 @@ def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
 
     predictor = TiledPredictor(model, state.variables(), data_cfg.mean,
                                data_cfg.std, tile=data_cfg.crop_size,
-                               overlap=args.tile_overlap)
+                               overlap=args.tile_overlap, mesh=mesh)
     conf = confusion_init(num_classes)
     dice_cum = jnp.zeros((num_classes,), jnp.float32)
     dice_count = jnp.zeros((), jnp.int32)

@@ -129,6 +129,13 @@ def main(cfg: TrainConfig) -> dict:
 
     batch_size = cfg.batch_size  # GLOBAL batch
     if batch_size == 0:  # --batch-size auto
+        if cfg.spatial_parallel > 1:
+            # The probe measures the single-device step; H-sharding divides
+            # activation temps by n_space, which the linear-in-batch model
+            # cannot see — it would reject or undersize by ~n_space.
+            raise SystemExit("error: --batch-size auto does not model "
+                             "--spatial-parallel; set --batch-size "
+                             "explicitly")
         from stf_unet_tpu.train.autobatch import pick_batch_size
         t_total_probe = len(seq_types) + (cfg.model.pk_channels
                                           if cfg.data.use_pk_maps else 0)

@@ -107,7 +107,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         from stf_unet_tpu.core import mesh as mesh_lib
         mesh = mesh_lib.create_mesh(args.data_parallel)
         variables = mesh_lib.replicate(mesh, variables)
-        print(f"batches sharded over {mesh.size} devices")
+        if int(config["batch_size"]) % mesh.size != 0:
+            print(f"warning: config batch_size {config['batch_size']} is "
+                  f"not a multiple of {mesh.size} — batches run replicated "
+                  "(no sharding speedup); pick a divisible batch size")
+        else:
+            print(f"batches sharded over {mesh.size} devices")
 
     index = DatasetIndex(args.root, args.split, seqs,
                          use_pk_maps=data_cfg.use_pk_maps)

@@ -48,14 +48,18 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard dim 0 (batch) over the data axis; replicate the rest.
 
     On a 2-D ('data', 'space') mesh the image-row axis shards over
-    'space' as well: H is axis 2 for [B, T, H, W, 1] volumes and axis 1
-    for [B, H, W(,C)] targets/images — GSPMD inserts the conv halo
-    exchanges (parallel/spatial.py; validated in tests/test_spatial.py).
+    'space' as well. Every array layout that flows through shard_batch
+    puts H at axis 2 when ndim >= 4 — train frames [B, T, H, W], PK maps
+    [B, 3, H, W], eval/serve volumes [B, T, H, W, 1] — and at axis 1 for
+    3-D targets [B, H, W]; GSPMD inserts the conv halo exchanges
+    (parallel/spatial.py; validated in tests/test_spatial.py incl. the
+    fused-augment 4-D uint8 path). 2-D trees (e.g. sizes [B, 2]) have no
+    spatial axis and shard batch only.
     """
     spec = [None] * ndim
     spec[0] = DATA_AXIS
     if SPACE_AXIS in mesh.axis_names and ndim >= 3:
-        spec[2 if ndim >= 5 else 1] = SPACE_AXIS
+        spec[2 if ndim >= 4 else 1] = SPACE_AXIS
     return NamedSharding(mesh, P(*spec))
 
 

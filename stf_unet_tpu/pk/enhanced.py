@@ -137,8 +137,8 @@ def fit_volume_enhanced(images: np.ndarray, cfg: PKConfig,
     return maps
 
 
-def compare_aif_methods(images: np.ndarray, cfg: PKConfig, output_dir: str
-                        ) -> Dict[str, np.ndarray]:
+def compare_aif_methods(images: np.ndarray, cfg: PKConfig, output_dir: str,
+                        mesh=None) -> Dict[str, np.ndarray]:
     """Fit the same volume with all three AIF methods and render per-method
     maps + pairwise difference maps (ref:709-887 test_aif_methods)."""
     import matplotlib
@@ -151,7 +151,8 @@ def compare_aif_methods(images: np.ndarray, cfg: PKConfig, output_dir: str
     for method in ("population", "modified", "auto"):
         mcfg = dataclasses.replace(cfg, aif_method=method)
         results[method] = fit_volume_enhanced(
-            images, mcfg, output_dir=os.path.join(output_dir, method))
+            images, mcfg, output_dir=os.path.join(output_dir, method),
+            mesh=mesh)
 
     methods = list(results)
     for i, name in enumerate(PARAM_NAMES):

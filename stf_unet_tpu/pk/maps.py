@@ -237,8 +237,9 @@ def generate_pk_maps_for_dataset(dataset_path: str,
 
 def compare_aif_for_dataset(dataset_path: str,
                             splits: Optional[Sequence[str]] = None,
-                            cfg: Optional[PKConfig] = None
-                            ) -> Dict[str, str]:
+                            cfg: Optional[PKConfig] = None,
+                            mesh=None, num_shards: int = 1,
+                            shard_index: int = 0) -> Dict[str, str]:
     """Per-patient AIF-method comparison artifacts
     (ref:test_pk_fitting.py:709-887 test_aif_methods): fits each patient
     volume with population/modified/auto AIFs and renders per-method maps
@@ -246,6 +247,8 @@ def compare_aif_for_dataset(dataset_path: str,
     `<root>/seg/<split>/pk_aif_comparison/<patient>/`."""
     from stf_unet_tpu.pk.enhanced import compare_aif_methods
     cfg = cfg or PKConfig()
+    if not (0 <= shard_index < num_shards):
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
     splits = splits or ["training", "val", "test"]
     out = {}
     for split in splits:
@@ -254,13 +257,18 @@ def compare_aif_for_dataset(dataset_path: str,
                                    "pk_aif_comparison")
         patients = sorted(p for p in os.listdir(images_dir)
                           if os.path.isdir(os.path.join(images_dir, p)))
-        print(f"{split}: AIF comparison over {len(patients)} patients")
+        if num_shards > 1:
+            patients = patients[shard_index::num_shards]
+        print(f"{split}: AIF comparison over {len(patients)} patients"
+              + (f" (shard {shard_index}/{num_shards})"
+                 if num_shards > 1 else ""))
         for patient in patients:
             frames = _load_patient_frames(os.path.join(images_dir, patient))
             if frames is None:
                 continue
             compare_aif_methods(frames, cfg,
-                                os.path.join(output_base, patient))
+                                os.path.join(output_base, patient),
+                                mesh=mesh)
             print(f"AIF comparison for {patient} -> "
                   f"{os.path.join(output_base, patient)}")
         out[split] = output_base
@@ -305,7 +313,9 @@ def main(argv=None):
         print(f"voxel-sharded fitting over {mesh.size} devices")
     if args.compare_aif:
         compare_aif_for_dataset(args.dataset_path, args.splits.split(","),
-                                cfg)
+                                cfg, mesh=mesh,
+                                num_shards=args.num_shards,
+                                shard_index=args.shard_index)
     else:
         generate_pk_maps_for_dataset(args.dataset_path,
                                      args.splits.split(","), cfg,

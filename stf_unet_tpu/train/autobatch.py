@@ -34,21 +34,24 @@ def device_budget_bytes() -> Optional[int]:
 
 
 def measure_step_memory(cfg, t_total: int, batch: int) -> Tuple[int, int]:
-    """-> (temp_bytes, state_bytes) of the bf16/f32 train step at `batch`,
-    from AOT compilation of the exact step cli/train would run."""
+    """-> (temp_bytes, state_bytes) at `batch`, from AOT compilation of the
+    exact program cli/train runs: the FUSED augment+train step — uint8
+    [B, T, base, base] frames in, device-side warp, forward/backward,
+    AdamW update — so augmentation temps and the uint8 wire layout are
+    inside the measurement, not approximated."""
     import jax
     import jax.numpy as jnp
 
     from stf_unet_tpu.core.dtypes import make_policy
+    from stf_unet_tpu.data.transforms import TrainAugment
     from stf_unet_tpu.models.registry import create_model
     from stf_unet_tpu.train.loop import make_train_step
     from stf_unet_tpu.train.schedule import warmup_poly_schedule
     from stf_unet_tpu.train.state import create_train_state, make_optimizer
 
     policy = make_policy(cfg.amp)
-    model_cfg = dataclasses.replace(cfg.model, time_steps=t_total
-                                    - (cfg.model.pk_channels
-                                       if cfg.data.use_pk_maps else 0))
+    pk_ch = cfg.model.pk_channels if cfg.data.use_pk_maps else 0
+    model_cfg = dataclasses.replace(cfg.model, time_steps=t_total - pk_ch)
     model = create_model(model_cfg, dtype=policy.compute_dtype
                          if cfg.amp else None)
     # Schedule values don't affect memory; a placeholder keeps this
@@ -56,15 +59,25 @@ def measure_step_memory(cfg, t_total: int, batch: int) -> Tuple[int, int]:
     sched = warmup_poly_schedule(cfg.optim.lr, 100, 100)
     optim = make_optimizer(cfg.optim, sched,
                            grad_accum=max(int(cfg.grad_accum), 1))
-    crop = cfg.data.crop_size
-    x = jnp.zeros((batch, t_total, crop, crop, 1), jnp.float32)
-    y = jnp.zeros((batch, crop, crop), jnp.int32)
-    state = create_train_state(jax.random.key(0), model_cfg, optim, x)
-    step = make_train_step(model, optim, sched, model_cfg.total_classes)
-    ma = step.lower(state, x, y).compile().memory_analysis()
+    base, crop = cfg.data.base_size, cfg.data.crop_size
+    t_model = t_total - pk_ch
+    frames = jnp.zeros((batch, t_model, base, base), jnp.uint8)
+    masks = jnp.zeros((batch, base, base), jnp.uint8)
+    sizes = jnp.full((batch, 2), base, jnp.int32)
+    pk = (jnp.zeros((batch, pk_ch, base, base), jnp.uint8)
+          if pk_ch else None)
+    x0 = jnp.zeros((batch, t_total, crop, crop, 1), jnp.float32)
+    state = create_train_state(jax.random.key(0), model_cfg, optim, x0)
+    step = make_train_step(model, optim, sched, model_cfg.total_classes,
+                           augment=TrainAugment(cfg.data))
+    key = jax.random.key(0)
+    ma = step.lower(state, key, frames, masks, sizes,
+                    pk).compile().memory_analysis()
     if ma is None:
         raise RuntimeError("backend reports no memory analysis")
-    sample_bytes = t_total * crop * crop * 4 + crop * crop * 4
+    sample_bytes = ((t_model + pk_ch) * base * base  # uint8 frames (+pk)
+                    + base * base                    # uint8 mask
+                    + 2 * 4)                         # sizes int32
     state_bytes = int(ma.argument_size_in_bytes) - batch * sample_bytes
     return int(ma.temp_size_in_bytes), state_bytes
 

@@ -12,7 +12,7 @@ def _tiny_cfg():
     return TrainConfig(
         model=ModelConfig(model="unet", num_classes=1, base_c=4,
                           time_steps=4),
-        data=DataConfig(crop_size=32),
+        data=DataConfig(base_size=40, crop_size=32),
         batch_size=0)
 
 

@@ -113,3 +113,55 @@ def test_train_cli_spatial_parallel_end_to_end(tmp_path):
         "--output-dir", str(tmp_path / "o")])
     assert 0.0 <= r["best_dice"] <= 1.0
     assert np.isfinite(r["test"]["dice"])
+
+
+def test_fused_augment_train_step_under_2d_mesh_matches(tmp_path):
+    """The FUSED augment+train step (the program cli/train actually runs:
+    uint8 [B,T,H,W] frames, device-side warp, then fwd/bwd/update) under a
+    ('data'=2, 'space'=4) mesh must match single-device — pins the 4-D
+    H-axis spec in core/mesh.batch_sharding (axis 2, NOT the time axis)."""
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core import mesh as mesh_lib
+    from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+    from stf_unet_tpu.data.transforms import TrainAugment
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    data_cfg = DataConfig(base_size=40, crop_size=32)
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4, time_steps=2)
+    model = create_model(cfg)
+    sched = warmup_poly_schedule(1e-2, 4, 2)
+    optim = make_optimizer(OptimConfig(), sched)
+    augment = TrainAugment(data_cfg)
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, 2, 40, 40), dtype=np.uint8)
+    masks = (rng.random((2, 40, 40)) > 0.7).astype(np.uint8)
+    sizes = np.full((2, 2), 40, np.int32)
+    x0 = jnp.zeros((2, 2, 32, 32, 1), jnp.float32)
+
+    step = make_train_step(model, optim, sched, cfg.total_classes,
+                           augment=augment)
+    key = jax.random.key(3)
+
+    state = create_train_state(jax.random.key(0), cfg, optim, x0)
+    mesh = create_2d_mesh(2, 4)
+    state_m = mesh_lib.replicate(
+        mesh, create_train_state(jax.random.key(0), cfg, optim, x0))
+    f_m, m_m, s_m = mesh_lib.shard_batch(mesh, (frames, masks, sizes))
+    assert f_m.sharding.spec == jax.sharding.PartitionSpec(
+        "data", None, "space", None), f_m.sharding.spec  # H, not T
+    assert s_m.sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+    s1, loss1, _ = step(state, key, jnp.asarray(frames), jnp.asarray(masks),
+                        jnp.asarray(sizes), None)
+    s2, loss2, _ = step(state_m, key, f_m, m_m, s_m, None)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
