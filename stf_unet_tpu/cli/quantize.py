@@ -1,0 +1,148 @@
+"""Post-training int8 quantization command.
+
+Usage: python -m stf_unet_tpu.cli.quantize --model unet
+           --model-dir ./save_weights --root <BreaDM root>
+           [--calib-split train] [--calib-samples 32]
+           [--eval-split val] [--no-eval] [--exclude path1,path2]
+
+Calibrates static per-conv activation scales on `--calib-samples` images
+from `--calib-split` (the exact normalized inputs the serving forward
+sees), writes `quant_scales.json` into the checkpoint directory (next to
+its meta.json sidecar), then — unless --no-eval — runs the eval split
+through BOTH the float and int8 forwards and reports the dice/mIoU delta,
+so the accuracy cost of int8 serving is a printed number, not a guess.
+
+`cli/serve.py --dtype int8` consumes the scales file. There is no
+reference counterpart (the reference serves nothing and quantizes
+nothing); the scheme and its TPU rationale live in ops/quant.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.ops import quant
+from stf_unet_tpu.train.loop import eval_batches_from_index, evaluate
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="STF-UNet TPU int8 post-training quantization")
+    p.add_argument("--model", type=str, default="unet",
+                   choices=["unet", "stflstm"])
+    p.add_argument("--model-dir", type=str, default="./save_weights")
+    p.add_argument("--root", type=str, default="./BreaDM")
+    p.add_argument("--use-subtraction", action="store_true")
+    p.add_argument("--use-pk-maps", action="store_true")
+    p.add_argument("--calib-split", type=str, default="train",
+                   choices=["train", "val", "test"],
+                   help="split providing calibration images (default "
+                        "train)")
+    p.add_argument("--calib-samples", type=int, default=32,
+                   help="number of calibration images (default 32)")
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="calibration batch size")
+    p.add_argument("--eval-split", type=str, default="val",
+                   choices=["train", "val", "test"],
+                   help="split for the float-vs-int8 accuracy report")
+    p.add_argument("--no-eval", action="store_true",
+                   help="skip the accuracy report (calibrate + save only)")
+    p.add_argument("--exclude", type=str, default="",
+                   help="comma-separated conv paths to keep in float "
+                        "(e.g. final head paths; default: quantize all)")
+    return p.parse_args(argv)
+
+
+class _VariablesState:
+    """Minimal evaluate()-compatible state: just .variables()."""
+
+    def __init__(self, variables):
+        self._variables = variables
+
+    def variables(self):
+        return self._variables
+
+
+def quantize(args: argparse.Namespace) -> dict:
+    from stf_unet_tpu.cli.common import restore_for_inference
+    from stf_unet_tpu.core.cache import enable_compilation_cache
+    from stf_unet_tpu.data.transforms import normalize
+    from stf_unet_tpu.models.registry import preprocess_input
+    enable_compilation_cache()
+
+    model, state, data_cfg, model_cfg, ckpt, kind, num_classes = (
+        restore_for_inference(args.model, args.model_dir, root=args.root,
+                              use_pk_maps=args.use_pk_maps,
+                              use_subtraction=args.use_subtraction))
+    variables = state.variables()
+    seq_types = data_cfg.resolved_sequence_types
+    print(f"model_path: {ckpt._path(kind)}")
+
+    calib_index = DatasetIndex(args.root, args.calib_split, seq_types,
+                               use_pk_maps=args.use_pk_maps)
+
+    def calib_inputs():
+        taken = 0
+        for img_u8, _tgt in eval_batches_from_index(
+                calib_index, data_cfg, use_pk_maps=args.use_pk_maps,
+                batch_size=args.batch_size):
+            yield preprocess_input(
+                normalize(jnp.asarray(img_u8), data_cfg.mean, data_cfg.std),
+                model)
+            taken += img_u8.shape[0]
+            if taken >= args.calib_samples:
+                return
+
+    print(f"calibrating on up to {args.calib_samples} images from "
+          f"'{args.calib_split}'...")
+    scales = quant.calibrate(model, variables, calib_inputs())
+    print(f"calibrated {len(scales)} convs "
+          f"(activation absmax {min(scales.values()):.3g}"
+          f"..{max(scales.values()):.3g})")
+
+    scales_path = quant.scales_path_for(ckpt._path(kind))
+    quant.save_scales(scales_path, scales)
+    print(f"scales -> {scales_path}")
+
+    result = {"scales_path": scales_path, "num_convs": len(scales)}
+    if args.no_eval:
+        return result
+
+    exclude = tuple(p for p in args.exclude.split(",") if p)
+    qvars = quant.quantize_variables(variables, scales, exclude=exclude)
+    qmodel = quant.QuantizedModel(model)
+    eval_index = DatasetIndex(args.root, args.eval_split, seq_types,
+                              use_pk_maps=args.use_pk_maps)
+
+    def batches():
+        return eval_batches_from_index(eval_index, data_cfg,
+                                       use_pk_maps=args.use_pk_maps,
+                                       batch_size=args.batch_size)
+
+    print(f"evaluating float model on '{args.eval_split}'...")
+    ref = evaluate(state, model, batches(), num_classes, data_cfg=data_cfg)
+    print(f"evaluating int8 model on '{args.eval_split}'...")
+    q = evaluate(_VariablesState(qvars), qmodel, batches(), num_classes,
+                 data_cfg=data_cfg)
+
+    d_dice = q["dice"] - ref["dice"]
+    d_miou = (q["mean_metrics"]["miou"] - ref["mean_metrics"]["miou"])
+    print(f"float dice {ref['dice']:.4f}  int8 dice {q['dice']:.4f}  "
+          f"delta {d_dice:+.4f}")
+    print(f"float mIoU {ref['mean_metrics']['miou']:.4f}  "
+          f"int8 mIoU {q['mean_metrics']['miou']:.4f}  delta {d_miou:+.4f}")
+    result.update(dice_float=ref["dice"], dice_int8=q["dice"],
+                  dice_delta=d_dice, miou_delta=d_miou)
+    return result
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    return quantize(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,7 @@ the production serving story of the TPU rebuild — see serve/engine.py
 Usage: python -m stf_unet_tpu.cli.serve --model stflstm
        --model-dir ./save_weights [--host 0.0.0.0] [--port 8421]
        [--max-batch 8] [--batch-window-ms 5] [--no-warmup]
-       [--dtype bf16|f32] [--data-parallel N] [--tiled]
+       [--dtype bf16|f32|int8] [--data-parallel N] [--tiled]
 
 --data-parallel N shards request batches over N chips from ONE serving
 process (params replicated, GSPMD collectives over ICI); batch buckets
@@ -44,9 +44,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--crop-size", type=int, default=None,
                    help="default: from checkpoint config")
     p.add_argument("--dtype", type=str, default="bf16",
-                   choices=["bf16", "f32"],
+                   choices=["bf16", "f32", "int8"],
                    help="serving compute dtype (bf16 default — the TPU "
-                        "inference policy; params stay f32)")
+                        "inference policy; params stay f32). int8 runs "
+                        "every calibrated conv as s8xs8->s32 on the MXU "
+                        "(2x bf16 peak) with the rest in bf16 — requires "
+                        "quant_scales.json from cli/quantize next to the "
+                        "checkpoint")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard request batches over N chips from one "
                         "serving process (0 = all visible devices); "
@@ -86,8 +90,25 @@ def build_server(args: argparse.Namespace):
         use_subtraction=args.use_subtraction,
         num_classes=args.num_classes, base_c=args.base_c,
         crop_size=args.crop_size,
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
+        dtype=jnp.bfloat16 if args.dtype in ("bf16", "int8") else None)
     print(f"serving {ckpt._path(kind)}")
+
+    variables = state.variables()
+    if args.dtype == "int8":
+        import os
+
+        from stf_unet_tpu.ops import quant
+
+        spath = quant.scales_path_for(ckpt._path(kind))
+        if not os.path.exists(spath):
+            raise SystemExit(
+                f"error: {spath} not found — calibrate first: python -m "
+                f"stf_unet_tpu.cli.quantize --model {args.model} "
+                f"--model-dir {args.model_dir} --root <dataset>")
+        scales = quant.load_scales(spath)
+        variables = quant.quantize_variables(variables, scales)
+        model = quant.QuantizedModel(model)
+        print(f"int8 serving: {len(scales)} convs quantized ({spath})")
 
     mesh = None
     if args.data_parallel != 1:
@@ -99,7 +120,7 @@ def build_server(args: argparse.Namespace):
     if args.tiled:
         from stf_unet_tpu.serve.tiled import TiledPredictor
 
-        tiled = TiledPredictor(model, state.variables(), data_cfg.mean,
+        tiled = TiledPredictor(model, variables, data_cfg.mean,
                                data_cfg.std, tile=data_cfg.crop_size,
                                overlap=args.tile_overlap, mesh=mesh)
         print(f"tiled mode: non-{data_cfg.crop_size}² volumes segment at "
@@ -107,7 +128,7 @@ def build_server(args: argparse.Namespace):
               + (f", tile batch sharded over {mesh.devices.size} devices"
                  if mesh is not None else "") + ")")
     server = SegmentationServer(
-        model, state.variables(), data_cfg, model_name=args.model,
+        model, variables, data_cfg, model_name=args.model,
         host=args.host, port=args.port, max_batch=args.max_batch,
         window_ms=args.batch_window_ms, mesh=mesh, tiled=tiled)
     geometries = [g.strip() for g in args.warmup_geometries.split(",")
