@@ -91,11 +91,20 @@ def restore_for_inference(
     # --grad-accum training wraps AdamW in optax.MultiSteps (train/state),
     # so recover the accumulation factor from the sidecar too.
     grad_accum = saved.grad_accum if saved else 1
+    # --ema-decay training adds an ema_params subtree to the state; the
+    # restore template must match, and inference should use the EMA copy
+    # (that is what EMA training selects for).
+    use_ema = bool(saved and saved.optim.ema_decay > 0.0)
     optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1),
                            grad_accum=grad_accum)
     t_total = len(seq_types) + (3 if use_pk_maps else 0)
     sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
     state = create_train_state(jax.random.key(0), model_cfg, optim, sample,
-                               dtype=dtype)
+                               dtype=dtype, ema=use_ema)
     state, _ = ckpt.restore(kind, state)
+    if use_ema:
+        print("using EMA weights "
+              f"(checkpoint trained with --optim-ema-decay "
+              f"{saved.optim.ema_decay})")
+        state = state.with_ema_weights()
     return model, state, data_cfg, model_cfg, ckpt, kind, num_classes

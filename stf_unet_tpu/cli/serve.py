@@ -47,10 +47,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    choices=["bf16", "f32", "int8"],
                    help="serving compute dtype (bf16 default — the TPU "
                         "inference policy; params stay f32). int8 runs "
-                        "every calibrated conv as s8xs8->s32 on the MXU "
-                        "(2x bf16 peak) with the rest in bf16 — requires "
-                        "quant_scales.json from cli/quantize next to the "
-                        "checkpoint")
+                        "every calibrated conv as s8xs8->s32 with the rest "
+                        "in bf16 — requires quant_scales.json from "
+                        "cli/quantize next to the checkpoint; whether it "
+                        "beats bf16 is toolchain-dependent, see "
+                        "PERFORMANCE.md and tools/perf_int8.py")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard request batches over N chips from one "
                         "serving process (0 = all visible devices); "

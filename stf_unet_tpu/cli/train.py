@@ -184,9 +184,14 @@ def main(cfg: TrainConfig) -> dict:
     t_total = len(seq_types) + (cfg.model.pk_channels if cfg.data.use_pk_maps else 0)
     sample = jnp.zeros((batch_size, t_total, cfg.data.crop_size,
                         cfg.data.crop_size, 1), jnp.float32)
-    state = create_train_state(stream(key, STREAM_INIT), model_cfg, optim, sample)
+    use_ema = cfg.optim.ema_decay > 0.0
+    state = create_train_state(stream(key, STREAM_INIT), model_cfg, optim,
+                               sample, ema=use_ema)
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Model {cfg.model.model}: {n_params / 1e6:.1f}M params")
+    if use_ema:
+        print(f"EMA weights: decay {cfg.optim.ema_decay} "
+              "(val/test evaluate the EMA copy)")
 
     ckpt = CheckpointManager(cfg.save_dir, cfg.model.model, tag_suffix)
     start_epoch = cfg.start_epoch
@@ -205,6 +210,17 @@ def main(cfg: TrainConfig) -> dict:
                 f"checkpoint was trained with --grad-accum {saved_accum} "
                 f"but this run uses --grad-accum {k}; resume with the same "
                 f"value (the optimizer state structure differs)")
+        # Same failure mode for EMA: its on/off state adds/removes the
+        # ema_params subtree.
+        if meta_cfg:
+            saved_ema = float(_json.loads(meta_cfg).get("optim", {})
+                              .get("ema_decay", 0.0) or 0.0) > 0.0
+            if saved_ema != use_ema:
+                raise ValueError(
+                    "checkpoint was trained with --optim-ema-decay "
+                    f"{'on' if saved_ema else 'off'} but this run has it "
+                    f"{'on' if use_ema else 'off'}; resume with a matching "
+                    "setting (the state structure differs)")
         state, meta = ckpt.restore(cfg.resume, state)
         resume_step = meta.get("step_in_epoch")
         if resume_step is not None:
@@ -239,7 +255,8 @@ def main(cfg: TrainConfig) -> dict:
     display_schedule = (schedule if k == 1
                         else (lambda s: schedule(s // k)))
     train_step = make_train_step(model, optim, display_schedule, num_classes,
-                                 augment=augment)
+                                 augment=augment,
+                                 ema_decay=cfg.optim.ema_decay)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()
     # SIGTERM/first-SIGINT (or --stop-after-steps) stop the run at the
@@ -285,7 +302,7 @@ def main(cfg: TrainConfig) -> dict:
             # with identical global metrics. The post-training test-set pass
             # below stays unsharded so the main process renders every sample.
             metrics = evaluate(
-                state, model,
+                state.with_ema_weights(), model,
                 eval_batches_from_index(val_index, cfg.data,
                                         use_pk_maps=cfg.data.use_pk_maps,
                                         batch_size=cfg.eval_batch_size,
@@ -398,7 +415,7 @@ def main(cfg: TrainConfig) -> dict:
 
     print("Running inference on test set...")
     test_metrics = evaluate(
-        state, model,
+        state.with_ema_weights(), model,
         eval_batches_from_index(test_index, cfg.data,
                                 use_pk_maps=cfg.data.use_pk_maps),
         num_classes, collect_outputs=True, data_cfg=cfg.data)

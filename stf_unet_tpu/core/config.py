@@ -97,6 +97,11 @@ class OptimConfig:
     warmup_epochs: int = 1
     warmup_factor: float = 1e-3
     poly_power: float = 0.9
+    # EMA of the weights (0 = off): ema = d*ema + (1-d)*params after each
+    # optimizer apply, fused into the train-step program. Val/test/serving
+    # then use the EMA weights (checkpointed alongside the raw params).
+    # Typical values 0.99-0.9999. No reference counterpart.
+    ema_decay: float = 0.0
 
 
 @dataclass

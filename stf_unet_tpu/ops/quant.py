@@ -1,14 +1,19 @@
 """Post-training int8 quantization (PTQ) for the serving/eval forward path.
 
-TPU-native rationale: the MXU runs s8 x s8 -> s32 at twice the bf16 peak
-(v5e: 394 int8 TOPS vs 197 bf16 TFLOP/s), and int8 activations/weights
-halve the HBM bytes each fused conv stage streams. The reference has no
-quantization story at all (its test.py runs the f32 torch model,
-ref:test.py:137-196); this module is a deployment capability of the TPU
-rebuild, built the XLA way: no custom kernels — `lax.conv_general_dilated`
-on int8 operands with `preferred_element_type=int32` lowers straight onto
-the int8 MXU path, and the requantize/dequantize elementwise work fuses
-into the surrounding program.
+TPU rationale and an honest caveat: the v5e MXU advertises ~2x int8 peak,
+but on the toolchain this repo was built against XLA's int8 CONV lowering
+measured ~parity with bf16 (PERFORMANCE.md "int8 quantized inference" —
+real-chip probes), so this module ships as a DEPLOYMENT capability with a
+measured accuracy story, not a speedup claim: the scheme is
+toolchain-portable (`lax.conv_general_dilated` on int8 operands with
+`preferred_element_type=int32` is exactly what lowers onto the int8 MXU
+where the runtime supports it), `tools/perf_int8.py` measures the
+end-to-end bf16-vs-int8 ratio on whatever chip it runs on, and
+`cli/quantize.py` prints the float-vs-int8 dice delta before anything
+serves. The reference has no quantization story at all (its test.py runs
+the f32 torch model, ref:test.py:137-196). No custom kernels — the
+requantize/dequantize elementwise work fuses into the surrounding
+program.
 
 Scheme (standard symmetric PTQ):
   * weights: per-output-channel symmetric int8, `wq = round(w / sw)`,

@@ -137,12 +137,15 @@ class CheckpointManager:
 
     @staticmethod
     def _tree(state: TrainState) -> Dict[str, Any]:
-        return {
+        tree = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        if state.ema_params is not None:
+            tree["ema_params"] = state.ema_params
+        return tree
 
     def _write(self, path: str, tree: Dict[str, Any], epoch: int,
                best_dice: float, config_json: str, seed: int,
@@ -169,18 +172,14 @@ class CheckpointManager:
         path = kind_or_path
         if not os.path.isabs(path) and not os.path.exists(path):
             path = self._path(kind_or_path)
-        tree_template = {
-            "params": template.params,
-            "batch_stats": template.batch_stats,
-            "opt_state": template.opt_state,
-            "step": template.step,
-        }
+        tree_template = self._tree(template)
         restored = self._ckptr.restore(path, item=tree_template)
         meta = self.read_meta(path)
         state = TrainState(params=restored["params"],
                            batch_stats=restored["batch_stats"],
                            opt_state=restored["opt_state"],
-                           step=restored["step"])
+                           step=restored["step"],
+                           ema_params=restored.get("ema_params"))
         return state, meta
 
     def exists(self, kind: str) -> bool:

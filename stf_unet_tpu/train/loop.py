@@ -32,13 +32,18 @@ from stf_unet_tpu.train.state import TrainState
 
 def make_train_step(model, optim, schedule, num_classes: int,
                     ignore_index: int = -100,
-                    augment: Optional[TrainAugment] = None) -> Callable:
+                    augment: Optional[TrainAugment] = None,
+                    ema_decay: float = 0.0) -> Callable:
     """Build the jitted train step. State is donated (in-place update in HBM).
 
     With `augment` the device-side augmentation fuses INTO the same compiled
     program — one dispatch per step, signature
     (state, key, frames, masks, sizes, pk) — instead of a separate
     augmentation launch (each dispatch is a host<->chip round trip).
+
+    ema_decay > 0 (with a state created via create_train_state(ema=True))
+    folds the EMA weight update into the same program:
+    ema = d*ema + (1-d)*params after the optimizer apply.
     """
 
     def loss_fn(params, batch_stats, images, targets):
@@ -57,8 +62,15 @@ def make_train_step(model, optim, schedule, num_classes: int,
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
         lr = schedule(state.step)
+        new_ema = state.ema_params
+        if ema_decay > 0.0 and new_ema is not None:
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)),
+                new_ema, new_params)
         new_state = TrainState(params=new_params, batch_stats=new_bn,
-                               opt_state=new_opt, step=state.step + 1)
+                               opt_state=new_opt, step=state.step + 1,
+                               ema_params=new_ema)
         return new_state, loss, lr
 
     if augment is None:

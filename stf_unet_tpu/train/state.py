@@ -24,9 +24,23 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    # Exponential moving average of params (None = EMA off). Initialized
+    # to a copy of params, updated ema = d*ema + (1-d)*params inside the
+    # jitted train step (one fused elementwise pass over the weights —
+    # negligible against the conv FLOPs). No bias correction: the
+    # init-to-params convention (torch.optim.swa_utils / flax common
+    # practice). No reference counterpart.
+    ema_params: Any = None
 
     def variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def with_ema_weights(self) -> "TrainState":
+        """State whose live params are the EMA weights (for eval/serving);
+        identity when EMA is off."""
+        if self.ema_params is None:
+            return self
+        return self.replace(params=self.ema_params)
 
 
 def make_optimizer(cfg: OptimConfig, schedule,
@@ -52,9 +66,11 @@ def make_optimizer(cfg: OptimConfig, schedule,
 def create_train_state(rng: jax.Array, model_cfg: ModelConfig,
                        optim: optax.GradientTransformation,
                        sample_input: jax.Array,
-                       dtype: Any = None) -> TrainState:
+                       dtype: Any = None, ema: bool = False) -> TrainState:
     """Initialize model + optimizer from one example input batch
-    ([B, T, H, W, C] sequence layout)."""
+    ([B, T, H, W, C] sequence layout). ema=True tracks an EMA copy of the
+    params (starts equal; a REAL buffer copy — the train step donates the
+    state, and donation rejects the same buffer at two leaves)."""
     model = create_model(model_cfg, dtype=dtype)
     x = preprocess_input(sample_input, model)
     variables = model.init(rng, x, train=False)
@@ -63,4 +79,6 @@ def create_train_state(rng: jax.Array, model_cfg: ModelConfig,
     opt_state = optim.init(params)
     import jax.numpy as jnp
     return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                      ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                                  if ema else None))

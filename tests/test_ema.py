@@ -1,0 +1,128 @@
+"""EMA weight averaging (--optim-ema-decay; train/state.py, train/loop.py).
+
+No reference counterpart — a production-training capability of the
+rebuild: ema = d*ema + (1-d)*params fused into the train-step program,
+checkpointed alongside the raw params, and selected automatically for
+val/test/serving.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+from stf_unet_tpu.models.registry import create_model
+from stf_unet_tpu.train.loop import make_train_step
+from stf_unet_tpu.train.schedule import warmup_poly_schedule
+from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+
+def _setup(ema: bool, decay: float = 0.5):
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4, time_steps=2)
+    model = create_model(cfg)
+    sched = warmup_poly_schedule(1e-2, 10, 4)
+    optim = make_optimizer(OptimConfig(), sched)
+    x0 = jnp.zeros((2, 2, 16, 16, 1), jnp.float32)
+    state = create_train_state(jax.random.key(0), cfg, optim, x0, ema=ema)
+    step = make_train_step(model, optim, sched, cfg.total_classes,
+                           ema_decay=decay if ema else 0.0)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 2, 16, 16, 1))
+                         .astype(np.float32))
+    targets = jnp.asarray((rng.random((2, 16, 16)) > 0.5)
+                          .astype(np.int32))
+    return state, step, images, targets
+
+
+def test_ema_matches_manual_recursion():
+    decay = 0.5
+    state, step, images, targets = _setup(ema=True, decay=decay)
+    # ema starts equal to params; copy — the step donates state buffers
+    manual = jax.tree_util.tree_map(jnp.copy, state.params)
+    for _ in range(3):
+        state, _, _ = step(state, images, targets)
+        manual = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p * (1 - decay), manual, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(manual),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # and the EMA copy genuinely lags the raw params after updates
+    diffs = [float(jnp.abs(e - p).max()) for e, p in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(state.params))]
+    assert max(diffs) > 0
+
+
+def test_ema_off_keeps_state_shape():
+    state, step, images, targets = _setup(ema=False)
+    assert state.ema_params is None
+    state, _, _ = step(state, images, targets)
+    assert state.ema_params is None
+    assert state.with_ema_weights() is state
+
+
+def test_with_ema_weights_swaps_params():
+    state, step, images, targets = _setup(ema=True, decay=0.9)
+    for _ in range(2):
+        state, _, _ = step(state, images, targets)
+    ema_state = state.with_ema_weights()
+    a = jax.tree_util.tree_leaves(ema_state.params)
+    b = jax.tree_util.tree_leaves(state.ema_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_cli_ema_end_to_end(tmp_path):
+    """Full train CLI with --optim-ema-decay: EMA rides the checkpoint and
+    cli.test restores it (restore_for_inference picks the EMA copy)."""
+    from stf_unet_tpu.cli import test as test_cli
+    from stf_unet_tpu.cli import train as train_cli
+    from stf_unet_tpu.core import config as config_lib
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+    root = str(tmp_path / "data")
+    make_synthetic_breadm(root, size=40, time_steps=8)
+    cfg = config_lib.parse_config([
+        "--data-path", root, "--model", "unet", "--epochs", "1",
+        "--batch-size", "2", "--model-base-c", "4",
+        "--data-base-size", "40", "--data-crop-size", "32",
+        "--optim-ema-decay", "0.9",
+        "--save-dir", str(tmp_path / "w"),
+        "--output-dir", str(tmp_path / "o")])
+    r = train_cli.main(cfg)
+    assert np.isfinite(r["test"]["dice"])
+
+    # restore for inference: EMA subtree present and selected
+    from stf_unet_tpu.cli.common import restore_for_inference
+    _, state, *_ = restore_for_inference("unet", str(tmp_path / "w"),
+                                         root=root)
+    # with_ema_weights() was applied: live params == ema copy
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    m = test_cli.main(["--model", "unet", "--model-dir", str(tmp_path / "w"),
+                       "--root", root,
+                       "--output-dir", str(tmp_path / "t")])
+    assert np.isfinite(m["dice"])
+
+
+def test_resume_guard_rejects_ema_mismatch(tmp_path):
+    from stf_unet_tpu.cli import train as train_cli
+    from stf_unet_tpu.core import config as config_lib
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+    import pytest
+
+    root = str(tmp_path / "data")
+    make_synthetic_breadm(root, size=40, time_steps=8)
+    base = ["--data-path", root, "--model", "unet", "--epochs", "1",
+            "--batch-size", "2", "--model-base-c", "4",
+            "--data-base-size", "40", "--data-crop-size", "32",
+            "--save-dir", str(tmp_path / "w"),
+            "--output-dir", str(tmp_path / "o")]
+    train_cli.main(config_lib.parse_config(base + ["--optim-ema-decay",
+                                                   "0.9"]))
+    with pytest.raises(ValueError, match="ema-decay"):
+        train_cli.main(config_lib.parse_config(
+            base + ["--resume", "latest", "--epochs", "2"]))
