@@ -78,6 +78,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each eval batch over N devices "
                         "(0 = all visible; identical metrics)")
+    p.add_argument("--tta", action="store_true",
+                   help="flip test-time augmentation: average logits over "
+                        "{id, hflip, vflip, hvflip} (4 forwards/sample; "
+                        "ops/tta.py — composes with --tiled and "
+                        "--data-parallel)")
     return p.parse_args(argv)
 
 
@@ -111,6 +116,11 @@ def test(args: argparse.Namespace) -> dict:
 
     test_index = DatasetIndex(args.root, "test", seq_types,
                               use_pk_maps=args.use_pk_maps)
+
+    if args.tta:
+        from stf_unet_tpu.ops.tta import FlipTTAModel
+        model = FlipTTAModel(model)
+        print("flip TTA: logits averaged over 4 orientations")
 
     mesh = None
     if args.data_parallel != 1:
