@@ -156,7 +156,8 @@ def main(cfg: TrainConfig) -> dict:
                         drop_last=mesh is not None,
                         prefetch=cfg.data.prefetch,
                         host_index=host_index, num_hosts=num_hosts,
-                        mask_format=cfg.data.mask_format)
+                        mask_format=cfg.data.mask_format,
+                        cache_ram=cfg.data.cache_ram)
     augment = TrainAugment(cfg.data)
 
     policy = make_policy(cfg.amp)

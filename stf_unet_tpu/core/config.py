@@ -41,6 +41,10 @@ class DataConfig:
     mask_format: str = "binary"
     # Loader behavior.
     prefetch: int = 2
+    # Cache decoded uint8 samples in host RAM after the first epoch
+    # (loader._cached_batch): converts decode-bound epochs to device-bound
+    # on few-core hosts. Prints the memory estimate at startup.
+    cache_ram: bool = False
     # Background-thread host->device transfer depth for the train loop
     # (train/loop.py:_batch_to_device); 0 transfers inline.
     device_prefetch: int = 2

@@ -197,7 +197,8 @@ class HostLoader:
                  drop_last: bool = False, canvas_multiple: int = 32,
                  prefetch: int = 2, use_native: Optional[bool] = None,
                  host_index: int = 0, num_hosts: int = 1,
-                 fixed_canvas: bool = True, mask_format: str = "binary"):
+                 fixed_canvas: bool = True, mask_format: str = "binary",
+                 cache_ram: bool = False):
         self.index = index
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -220,6 +221,25 @@ class HostLoader:
         self.canvas: Optional[Tuple[int, int]] = None
         if fixed_canvas and len(index) > 0:
             self.canvas = self._probe_canvas()
+        # In-RAM decoded-sample cache: the first epoch decodes and caches
+        # the canvas-packed uint8 sample (frames/mask/pk/size); later
+        # epochs assemble batches by np.stack, skipping JPEG/PNG decode
+        # entirely. On 1-2 core hosts, decode is the real end-to-end
+        # training bound (the device step is tens of ms while host decode
+        # is ~0.1 s/batch), so this converts epochs 1+ from decode-bound
+        # to device-bound. Requires the dataset-wide fixed canvas (cached
+        # arrays must keep one shape across epochs).
+        self._cache: dict = {}
+        self.cache_ram = bool(cache_ram) and self.canvas is not None
+        if cache_ram and self.canvas is None:
+            print("warning: cache_ram disabled — it requires the "
+                  "fixed-canvas loader mode")
+        if self.cache_ram:
+            ch, cw = self.canvas
+            t = len(index.records[0].image_paths) if len(index) else 0
+            per = (t + 1 + (3 if use_pk_maps else 0)) * ch * cw
+            print(f"RAM cache: ~{len(index) * per / 2**30:.2f} GiB of "
+                  f"decoded uint8 samples after the first epoch")
 
     def _probe_canvas(self) -> Tuple[int, int]:
         from stf_unet_tpu.data import native_loader
@@ -330,6 +350,29 @@ class HostLoader:
                   for i in range(0, len(order), self.batch_size)]
         if skip_batches:
             chunks = chunks[skip_batches:]
-        batches = (self._make_batch([self.index[int(i)] for i in chunk])
-                   for chunk in chunks)
+        if self.cache_ram:
+            batches = (self._cached_batch([int(i) for i in chunk])
+                       for chunk in chunks)
+        else:
+            batches = (self._make_batch([self.index[int(i)] for i in chunk])
+                       for chunk in chunks)
         yield from prefetch_iterator(batches, self.prefetch)
+
+    def _cached_batch(self, idxs: List[int]) -> Batch:
+        """Assemble a batch from the RAM cache, decoding (and caching) any
+        missing samples with the normal batch path first — epoch 0 keeps
+        the threaded native batch decode, epochs 1+ are pure np.stack."""
+        missing = [i for i in idxs if i not in self._cache]
+        if missing:
+            fresh = self._make_batch([self.index[i] for i in missing])
+            for j, i in enumerate(missing):
+                self._cache[i] = (fresh.frames[j], fresh.masks[j],
+                                  None if fresh.pk is None else fresh.pk[j],
+                                  fresh.sizes[j])
+        samples = [self._cache[i] for i in idxs]
+        return Batch(
+            frames=np.stack([s[0] for s in samples]),
+            masks=np.stack([s[1] for s in samples]),
+            pk=(np.stack([s[2] for s in samples])
+                if samples[0][2] is not None else None),
+            sizes=np.stack([s[3] for s in samples]))

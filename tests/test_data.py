@@ -521,3 +521,33 @@ def test_fused_warp_bf16_raw_scale_exact():
         gy, gx, vh, vw)
     np.testing.assert_array_equal(np.asarray(bil16), np.asarray(bil32))
     np.testing.assert_array_equal(np.asarray(near16), np.asarray(near32))
+
+
+def test_cache_ram_epochs_identical_to_decode(synthetic_root):
+    """cache_ram: epoch 0 (decode+populate) and epoch 1+ (pure np.stack
+    from cache) yield byte-identical batches to the uncached loader, and
+    epoch 1 touches no decode path (cache fully populated)."""
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    plain = HostLoader(idx, batch_size=3, shuffle=True, seed=9, prefetch=0)
+    cached = HostLoader(idx, batch_size=3, shuffle=True, seed=9, prefetch=0,
+                        cache_ram=True)
+    assert cached.cache_ram
+    for epoch in (0, 1, 2):
+        for a, b in zip(plain.epoch(epoch), cached.epoch(epoch)):
+            np.testing.assert_array_equal(a.frames, b.frames)
+            np.testing.assert_array_equal(a.masks, b.masks)
+            np.testing.assert_array_equal(a.sizes, b.sizes)
+            assert (a.pk is None) == (b.pk is None)
+        if epoch == 0:
+            assert len(cached._cache) == len(idx)
+            # epoch 1+ must not decode: poison the decode path
+            cached._make_batch = None  # type: ignore[assignment]
+
+
+def test_cache_ram_requires_fixed_canvas(synthetic_root, capsys):
+    idx = DatasetIndex(synthetic_root, "train", SEQS)
+    loader = HostLoader(idx, batch_size=2, shuffle=False, prefetch=0,
+                        fixed_canvas=False, cache_ram=True)
+    assert not loader.cache_ram  # disabled with a warning, not broken
+    assert "cache_ram disabled" in capsys.readouterr().out
+    list(loader.epoch(0))  # still iterates via the decode path
