@@ -12,11 +12,26 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+from stf_unet_tpu.core.config import DataConfig, ModelConfig
 from stf_unet_tpu.models.registry import create_model
 from stf_unet_tpu.train.checkpoint import CheckpointManager
-from stf_unet_tpu.train.schedule import warmup_poly_schedule
-from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+
+def restore_inference_state(ckpt: CheckpointManager, kind: str):
+    """Template-free inference restore (CheckpointManager
+    .restore_variables — no optimizer/EMA structure assumptions can
+    mismatch, so --grad-accum / --optim-ema-decay checkpoints load in
+    every inference CLI). Returns a TrainState whose live params are the
+    EMA weights when the checkpoint carries them."""
+    from stf_unet_tpu.train.state import TrainState
+
+    variables, used_ema, meta = ckpt.restore_variables(kind)
+    if used_ema:
+        print("using EMA weights (checkpoint carries an ema_params tree)")
+    return TrainState(params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=None,
+                      step=jnp.asarray(0, jnp.int32)), meta
 
 
 def restore_for_inference(
@@ -86,25 +101,7 @@ def restore_for_inference(
                             use_pk_maps=use_pk_maps)
     model = create_model(model_cfg, dtype=dtype)
 
-    import jax
-    # The opt_state template must match the checkpoint's structure:
-    # --grad-accum training wraps AdamW in optax.MultiSteps (train/state),
-    # so recover the accumulation factor from the sidecar too.
-    grad_accum = saved.grad_accum if saved else 1
-    # --ema-decay training adds an ema_params subtree to the state; the
-    # restore template must match, and inference should use the EMA copy
-    # (that is what EMA training selects for).
-    use_ema = bool(saved and saved.optim.ema_decay > 0.0)
-    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1),
-                           grad_accum=grad_accum)
-    t_total = len(seq_types) + (3 if use_pk_maps else 0)
-    sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
-    state = create_train_state(jax.random.key(0), model_cfg, optim, sample,
-                               dtype=dtype, ema=use_ema)
-    state, _ = ckpt.restore(kind, state)
-    if use_ema:
-        print("using EMA weights "
-              f"(checkpoint trained with --optim-ema-decay "
-              f"{saved.optim.ema_decay})")
-        state = state.with_ema_weights()
+    # Template-free restore: no optimizer (--grad-accum) or EMA-layout
+    # structure to mismatch; the EMA weights are selected automatically.
+    state, _ = restore_inference_state(ckpt, kind)
     return model, state, data_cfg, model_cfg, ckpt, kind, num_classes

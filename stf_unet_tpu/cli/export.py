@@ -69,7 +69,8 @@ def export_model(args: argparse.Namespace) -> str:
                              "_pk" if args.use_pk_maps else "")
     kind = "best" if ckpt.exists("best") else "latest"
     if ckpt.exists(kind):
-        state, _ = ckpt.restore(kind, state)
+        from stf_unet_tpu.cli.common import restore_inference_state
+        state, _ = restore_inference_state(ckpt, kind)
         print(f"exporting weights from {ckpt._path(kind)}")
     else:
         if not args.allow_random_weights:

@@ -54,7 +54,8 @@ def run_pipeline(args: argparse.Namespace) -> dict:
     ckpt = CheckpointManager(args.model_dir, args.model)
     kind = "best" if ckpt.exists("best") else "latest"
     if ckpt.exists(kind):
-        state, _ = ckpt.restore(kind, state)
+        from stf_unet_tpu.cli.common import restore_inference_state
+        state, _ = restore_inference_state(ckpt, kind)
         print(f"loaded {ckpt._path(kind)}")
     else:
         print("warning: no checkpoint found; running with random weights")

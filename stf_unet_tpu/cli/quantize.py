@@ -104,6 +104,20 @@ def quantize(args: argparse.Namespace) -> dict:
           f"(activation absmax {min(scales.values()):.3g}"
           f"..{max(scales.values()):.3g})")
 
+    # Apply --exclude BEFORE persisting: the saved file is exactly what
+    # cli/serve --dtype int8 quantizes, so the dice delta printed below
+    # describes the network that will actually serve.
+    exclude = tuple(p for p in args.exclude.split(",") if p)
+    unknown = [p for p in exclude if p not in scales]
+    if unknown:
+        raise SystemExit(f"error: --exclude paths not found among "
+                         f"calibrated convs: {unknown}; known paths: "
+                         f"{sorted(scales)}")
+    scales = {k: v for k, v in scales.items() if k not in exclude}
+    if exclude:
+        print(f"excluded {len(exclude)} convs from quantization (kept "
+              "float): " + ", ".join(exclude))
+
     scales_path = quant.scales_path_for(ckpt._path(kind))
     quant.save_scales(scales_path, scales)
     print(f"scales -> {scales_path}")
@@ -112,8 +126,7 @@ def quantize(args: argparse.Namespace) -> dict:
     if args.no_eval:
         return result
 
-    exclude = tuple(p for p in args.exclude.split(",") if p)
-    qvars = quant.quantize_variables(variables, scales, exclude=exclude)
+    qvars = quant.quantize_variables(variables, scales)
     qmodel = quant.QuantizedModel(model)
     eval_index = DatasetIndex(args.root, args.eval_split, seq_types,
                               use_pk_maps=args.use_pk_maps)

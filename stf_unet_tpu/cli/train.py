@@ -139,11 +139,18 @@ def main(cfg: TrainConfig) -> dict:
         from stf_unet_tpu.train.autobatch import pick_batch_size
         t_total_probe = len(seq_types) + (cfg.model.pk_channels
                                           if cfg.data.use_pk_maps else 0)
+        # Probe at the loader's REAL fixed canvas (max native slice size
+        # rounded up), not base_size — the fused step casts the whole
+        # canvas to the compute dtype, so probing smaller would pick an
+        # OOMing batch on native-resolution datasets.
+        probe_canvas = HostLoader(train_index, 1, shuffle=False,
+                                  prefetch=0).canvas
         batch_size = pick_batch_size(
             cfg, t_total_probe,
             n_shards=(mesh.shape[mesh_lib.DATA_AXIS] if mesh is not None
                       else 1),
-            budget_bytes=int(cfg.auto_batch_budget_gb * 2**30) or None)
+            budget_bytes=int(cfg.auto_batch_budget_gb * 2**30) or None,
+            canvas=probe_canvas)
     if mesh is not None:
         batch_size = mesh_lib.pad_batch_to_multiple(
             batch_size, mesh.shape[mesh_lib.DATA_AXIS])
@@ -257,7 +264,8 @@ def main(cfg: TrainConfig) -> dict:
                         else (lambda s: schedule(s // k)))
     train_step = make_train_step(model, optim, display_schedule, num_classes,
                                  augment=augment,
-                                 ema_decay=cfg.optim.ema_decay)
+                                 ema_decay=cfg.optim.ema_decay,
+                                 ema_every_k=k)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()
     # SIGTERM/first-SIGINT (or --stop-after-steps) stop the run at the

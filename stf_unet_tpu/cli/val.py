@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 import numpy as np
 import yaml
 
-from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
+from stf_unet_tpu.core.config import DataConfig, ModelConfig
 from stf_unet_tpu.data.index import DatasetIndex
 from stf_unet_tpu.metrics.binary import iou_score
 from stf_unet_tpu.metrics.confusion import confusion_report, format_confusion
@@ -25,8 +25,6 @@ from stf_unet_tpu.metrics.meters import AverageMeter
 from stf_unet_tpu.models.registry import create_model
 from stf_unet_tpu.train.checkpoint import CheckpointManager
 from stf_unet_tpu.train.loop import eval_batches_from_index
-from stf_unet_tpu.train.schedule import warmup_poly_schedule
-from stf_unet_tpu.train.state import create_train_state, make_optimizer
 
 DEFAULT_CONFIG = {
     "arch": "stflstm",
@@ -90,16 +88,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                             use_pk_maps=bool(config["use_pk_maps"]))
     model = create_model(model_cfg)
 
-    optim = make_optimizer(OptimConfig(), warmup_poly_schedule(1e-3, 1, 1))
-    t_total = len(seqs) + (3 if data_cfg.use_pk_maps else 0)
-    sample = jnp.zeros((1, t_total, data_cfg.crop_size, data_cfg.crop_size, 1))
-    state = create_train_state(jax.random.key(0), model_cfg, optim, sample)
-
     ckpt = CheckpointManager(args.model_path, model_cfg.model,
                              "_pk" if data_cfg.use_pk_maps else "")
     kind = "best" if ckpt.exists("best") else "latest"
     print(f"Loading model from {ckpt._path(kind)}")
-    state, _ = ckpt.restore(kind, state)
+    from stf_unet_tpu.cli.common import restore_inference_state
+    state, _ = restore_inference_state(ckpt, kind)
     variables = state.variables()
 
     mesh = None

@@ -33,12 +33,23 @@ def device_budget_bytes() -> Optional[int]:
     return int(limit) if limit else None
 
 
-def measure_step_memory(cfg, t_total: int, batch: int) -> Tuple[int, int]:
+def measure_step_memory(cfg, t_total: int, batch: int,
+                        canvas: Optional[Tuple[int, int]] = None
+                        ) -> Tuple[int, int]:
     """-> (temp_bytes, state_bytes) at `batch`, from AOT compilation of the
     exact program cli/train runs: the FUSED augment+train step — uint8
-    [B, T, base, base] frames in, device-side warp, forward/backward,
-    AdamW update — so augmentation temps and the uint8 wire layout are
-    inside the measurement, not approximated."""
+    [B, T, ch, cw] frames in, device-side warp, forward/backward,
+    AdamW update (incl. the EMA update when cfg.optim.ema_decay > 0) — so
+    augmentation temps, the EMA params copy, and the uint8 wire layout
+    are inside the measurement, not approximated.
+
+    canvas: the loader's FIXED dataset canvas (HostLoader.canvas — the
+    max native slice size rounded up to 32). The warp casts the whole
+    canvas to the compute dtype inside the step, so probing at
+    cfg.data.base_size when the dataset's native slices are larger would
+    undercount every canvas-proportional term and pick an OOMing batch.
+    Defaults to (base_size, base_size) for datasets already at base
+    scale."""
     import jax
     import jax.numpy as jnp
 
@@ -59,25 +70,31 @@ def measure_step_memory(cfg, t_total: int, batch: int) -> Tuple[int, int]:
     sched = warmup_poly_schedule(cfg.optim.lr, 100, 100)
     optim = make_optimizer(cfg.optim, sched,
                            grad_accum=max(int(cfg.grad_accum), 1))
-    base, crop = cfg.data.base_size, cfg.data.crop_size
+    crop = cfg.data.crop_size
+    ch, cw = canvas if canvas is not None else (cfg.data.base_size,
+                                                cfg.data.base_size)
     t_model = t_total - pk_ch
-    frames = jnp.zeros((batch, t_model, base, base), jnp.uint8)
-    masks = jnp.zeros((batch, base, base), jnp.uint8)
-    sizes = jnp.full((batch, 2), base, jnp.int32)
-    pk = (jnp.zeros((batch, pk_ch, base, base), jnp.uint8)
+    frames = jnp.zeros((batch, t_model, ch, cw), jnp.uint8)
+    masks = jnp.zeros((batch, ch, cw), jnp.uint8)
+    sizes = jnp.full((batch, 2), min(ch, cw), jnp.int32)
+    pk = (jnp.zeros((batch, pk_ch, ch, cw), jnp.uint8)
           if pk_ch else None)
     x0 = jnp.zeros((batch, t_total, crop, crop, 1), jnp.float32)
-    state = create_train_state(jax.random.key(0), model_cfg, optim, x0)
+    use_ema = cfg.optim.ema_decay > 0.0
+    state = create_train_state(jax.random.key(0), model_cfg, optim, x0,
+                               ema=use_ema)
     step = make_train_step(model, optim, sched, model_cfg.total_classes,
-                           augment=TrainAugment(cfg.data))
+                           augment=TrainAugment(cfg.data),
+                           ema_decay=cfg.optim.ema_decay,
+                           ema_every_k=max(int(cfg.grad_accum), 1))
     key = jax.random.key(0)
     ma = step.lower(state, key, frames, masks, sizes,
                     pk).compile().memory_analysis()
     if ma is None:
         raise RuntimeError("backend reports no memory analysis")
-    sample_bytes = ((t_model + pk_ch) * base * base  # uint8 frames (+pk)
-                    + base * base                    # uint8 mask
-                    + 2 * 4)                         # sizes int32
+    sample_bytes = ((t_model + pk_ch) * ch * cw  # uint8 frames (+pk)
+                    + ch * cw                    # uint8 mask
+                    + 2 * 4)                     # sizes int32
     state_bytes = int(ma.argument_size_in_bytes) - batch * sample_bytes
     return int(ma.temp_size_in_bytes), state_bytes
 
@@ -86,7 +103,8 @@ def pick_batch_size(cfg, t_total: int, n_shards: int = 1,
                     budget_bytes: Optional[int] = None,
                     frac: float = DEFAULT_BUDGET_FRAC,
                     probes: Tuple[int, int] = (2, 4),
-                    cap: int = 1024) -> int:
+                    cap: int = 1024,
+                    canvas: Optional[Tuple[int, int]] = None) -> int:
     """Largest power-of-two PER-DEVICE batch whose train step fits
     `frac * budget`, times `n_shards` -> the global batch.
 
@@ -100,8 +118,8 @@ def pick_batch_size(cfg, t_total: int, n_shards: int = 1,
                 "--batch-size auto: this backend reports no memory limit; "
                 "set an explicit --batch-size")
     b0, b1 = probes
-    t0, state_bytes = measure_step_memory(cfg, t_total, b0)
-    t1, _ = measure_step_memory(cfg, t_total, b1)
+    t0, state_bytes = measure_step_memory(cfg, t_total, b0, canvas=canvas)
+    t1, _ = measure_step_memory(cfg, t_total, b1, canvas=canvas)
     per_sample = (t1 - t0) / (b1 - b0)
     fixed = t0 - per_sample * b0
     usable = frac * budget_bytes - state_bytes - fixed

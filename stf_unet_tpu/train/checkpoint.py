@@ -182,6 +182,27 @@ class CheckpointManager:
                            ema_params=restored.get("ema_params"))
         return state, meta
 
+    def restore_variables(self, kind_or_path: str
+                          ) -> tuple[Dict[str, Any], bool, Dict[str, Any]]:
+        """Template-free INFERENCE restore: read the on-disk tree as
+        stored (orbax restores without an item template), so no
+        optimizer-structure (--grad-accum) or EMA-layout assumptions can
+        mismatch. Returns ({"params", "batch_stats"}, used_ema, meta)
+        with the EMA weights selected as the live params when the
+        checkpoint carries them — EMA training selects them for serving.
+        Training resume keeps using restore() (it needs opt_state and the
+        raw/EMA split, and its template is built from the run config)."""
+        self.wait()
+        path = kind_or_path
+        if not os.path.isabs(path) and not os.path.exists(path):
+            path = self._path(kind_or_path)
+        restored = self._ckptr.restore(path)
+        meta = self.read_meta(path)
+        used_ema = "ema_params" in restored
+        params = restored["ema_params"] if used_ema else restored["params"]
+        return ({"params": params,
+                 "batch_stats": restored["batch_stats"]}, used_ema, meta)
+
     def exists(self, kind: str) -> bool:
         return os.path.exists(self._path(kind))
 

@@ -33,7 +33,8 @@ from stf_unet_tpu.train.state import TrainState
 def make_train_step(model, optim, schedule, num_classes: int,
                     ignore_index: int = -100,
                     augment: Optional[TrainAugment] = None,
-                    ema_decay: float = 0.0) -> Callable:
+                    ema_decay: float = 0.0,
+                    ema_every_k: int = 1) -> Callable:
     """Build the jitted train step. State is donated (in-place update in HBM).
 
     With `augment` the device-side augmentation fuses INTO the same compiled
@@ -43,7 +44,12 @@ def make_train_step(model, optim, schedule, num_classes: int,
 
     ema_decay > 0 (with a state created via create_train_state(ema=True))
     folds the EMA weight update into the same program:
-    ema = d*ema + (1-d)*params after the optimizer apply.
+    ema = d*ema + (1-d)*params after the optimizer apply. Under
+    gradient accumulation pass ema_every_k = the accumulation factor:
+    optax.MultiSteps applies the optimizer once per k micro-steps
+    (zero-updates in between), and advancing the EMA on every micro-step
+    would compound the effective per-apply decay to d^k — so the EMA
+    advances only on micro-steps where the apply happens.
     """
 
     def loss_fn(params, batch_stats, images, targets):
@@ -65,6 +71,9 @@ def make_train_step(model, optim, schedule, num_classes: int,
         new_ema = state.ema_params
         if ema_decay > 0.0 and new_ema is not None:
             d = jnp.float32(ema_decay)
+            if ema_every_k > 1:  # decay 1.0 == no-op on non-apply steps
+                d = jnp.where((state.step + 1) % ema_every_k == 0,
+                              d, jnp.float32(1.0))
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)),
                 new_ema, new_params)

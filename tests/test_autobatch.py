@@ -50,3 +50,22 @@ def test_pick_batch_size_tracks_budget_and_shards():
 
     with pytest.raises(RuntimeError, match="does not fit"):
         pick_batch_size(cfg, 4, budget_bytes=1 << 20)  # 1 MiB: nothing fits
+
+
+def test_probe_honors_canvas_and_ema():
+    """The probe must measure the REAL program: a larger dataset canvas
+    grows the per-sample temp bytes (the warp casts the whole canvas),
+    and EMA training grows the batch-independent state bytes by ~one
+    f32 params copy."""
+    import dataclasses
+
+    from stf_unet_tpu.core.config import OptimConfig
+
+    cfg = _tiny_cfg()
+    t_small, s_small = measure_step_memory(cfg, 4, 2, canvas=(40, 40))
+    t_big, _ = measure_step_memory(cfg, 4, 2, canvas=(96, 96))
+    assert t_big > t_small  # canvas-proportional temps are measured
+
+    ema_cfg = dataclasses.replace(cfg, optim=OptimConfig(ema_decay=0.999))
+    _, s_ema = measure_step_memory(ema_cfg, 4, 2, canvas=(40, 40))
+    assert s_ema > s_small  # the EMA params copy is budgeted

@@ -93,14 +93,23 @@ def test_train_cli_ema_end_to_end(tmp_path):
     r = train_cli.main(cfg)
     assert np.isfinite(r["test"]["dice"])
 
-    # restore for inference: EMA subtree present and selected
+    # restore for inference selects the EMA copy as the live params:
+    # compare against the raw on-disk tree (template-free restore).
     from stf_unet_tpu.cli.common import restore_for_inference
+    from stf_unet_tpu.train.checkpoint import CheckpointManager
     _, state, *_ = restore_for_inference("unet", str(tmp_path / "w"),
                                          root=root)
-    # with_ema_weights() was applied: live params == ema copy
+    import orbax.checkpoint as ocp
+    ckpt = CheckpointManager(str(tmp_path / "w"), "unet")
+    raw = ocp.PyTreeCheckpointer().restore(ckpt._path("best"))
+    assert "ema_params" in raw
     for x, y in zip(jax.tree_util.tree_leaves(state.params),
-                    jax.tree_util.tree_leaves(state.ema_params)):
+                    jax.tree_util.tree_leaves(raw["ema_params"])):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and a --grad-accum-style structure difference cannot break inference
+    # restores either (template-free): restore_variables needs no optim.
+    variables, used_ema, _ = ckpt.restore_variables("best")
+    assert used_ema and "params" in variables
 
     m = test_cli.main(["--model", "unet", "--model-dir", str(tmp_path / "w"),
                        "--root", root,
