@@ -128,10 +128,30 @@ def build_server(args: argparse.Namespace):
               f"native resolution (stride {tiled.stride}"
               + (f", tile batch sharded over {mesh.devices.size} devices"
                  if mesh is not None else "") + ")")
+    def reloader():
+        """POST /v1/reload support: re-read the (possibly newer) best/
+        latest checkpoint and, for int8, the scales file — so a training
+        run can promote a new best model into a live server."""
+        from stf_unet_tpu.cli.common import restore_inference_state
+
+        kind2 = "best" if ckpt.exists("best") else "latest"
+        state2, meta = restore_inference_state(ckpt, kind2)
+        v2 = state2.variables()
+        if args.dtype == "int8":
+            from stf_unet_tpu.ops import quant
+
+            v2 = quant.quantize_variables(
+                v2, quant.load_scales(quant.scales_path_for(
+                    ckpt._path(kind2))))
+        return v2, {"checkpoint": ckpt._path(kind2),
+                    "epoch": meta.get("epoch"),
+                    "best_dice": meta.get("best_dice")}
+
     server = SegmentationServer(
         model, variables, data_cfg, model_name=args.model,
         host=args.host, port=args.port, max_batch=args.max_batch,
-        window_ms=args.batch_window_ms, mesh=mesh, tiled=tiled)
+        window_ms=args.batch_window_ms, mesh=mesh, tiled=tiled,
+        reloader=reloader)
     geometries = [g.strip() for g in args.warmup_geometries.split(",")
                   if g.strip()]
     if geometries and tiled is None:

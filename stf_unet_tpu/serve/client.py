@@ -88,6 +88,12 @@ class SegmentationClient:
         body = self._request("/v1/segment", self._payload(frames))
         return json.loads(body)
 
+    def reload(self) -> Dict:
+        """Ask the server to re-read its checkpoint and swap weights in
+        place (zero downtime, no recompile). Raises ServerError(409) when
+        the on-disk tree no longer matches the serving model."""
+        return json.loads(self._request("/v1/reload", b""))
+
     def healthz(self) -> Dict:
         return json.loads(self._request("/healthz"))
 

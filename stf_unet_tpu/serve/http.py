@@ -4,6 +4,9 @@ Endpoints:
   GET  /healthz          -> {"status": "ok", "model": ..., "requests": N}
   GET  /metrics          -> request count, latency p50/p99 ms, batch-size
                             histogram, per-shape compile cache keys
+  POST /v1/reload        -> re-read the checkpoint and swap weights in
+                            place (no recompile, no downtime; 409 when
+                            the on-disk tree no longer matches)
   POST /v1/segment       -> body: npz with "frames" uint8 [T, H, W]
                             (np.savez(buf, frames=...)), any H/W — the
                             server applies the training-parity short-edge
@@ -71,10 +74,17 @@ class SegmentationServer:
     def __init__(self, model, variables, data_cfg, *, model_name: str = "",
                  host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 8, window_ms: float = 5.0, mesh=None,
-                 tiled=None, infer_timeout_s: float = 300.0):
+                 tiled=None, infer_timeout_s: float = 300.0,
+                 reloader=None):
+        """reloader: optional () -> (variables, info dict) re-reading the
+        checkpoint from disk — enables POST /v1/reload (zero-downtime
+        weight swap: the compiled programs take variables as an argument,
+        so a reload reuses every compiled bucket with no recompile)."""
         self.data_cfg = data_cfg
         self.model_name = model_name
         self.tiled = tiled
+        self._reloader = reloader
+        self._reload_lock = threading.Lock()
         # Generous default: a request for a not-yet-seen geometry pays its
         # XLA compile in-line (minutes on a cold cache); warmup() covers
         # the trained geometry but tiled-mode geometries arrive on demand.
@@ -105,6 +115,44 @@ class SegmentationServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
         self.batcher.close()
+
+    def reload(self) -> dict:
+        """Re-read the checkpoint and swap the serving weights in place.
+
+        Safe while serving: the batcher's single worker reads
+        engine.variables once per batch, and the jitted programs take
+        variables as an argument — in-flight batches finish on the old
+        weights, the next batch runs the new ones, nothing recompiles.
+        Rejects a checkpoint whose parameter tree/shapes no longer match
+        the serving model (an architecture change needs a restart)."""
+        if self._reloader is None:
+            raise RuntimeError("reload not configured for this server")
+        with self._reload_lock:
+            variables, info = self._reloader()
+            import jax
+
+            def shapes(tree):
+                return [(tuple(p), tuple(x.shape)) for p, x in
+                        jax.tree_util.tree_flatten_with_path(tree)[0]]
+
+            if shapes(variables) != shapes(self.engine.variables):
+                raise ValueError(
+                    "checkpoint on disk no longer matches the serving "
+                    "model (tree/shape change) — restart the server")
+            if self.engine.mesh is not None:
+                from stf_unet_tpu.core.mesh import replicate
+                self.engine.variables = replicate(self.engine.mesh,
+                                                  variables)
+            else:
+                self.engine.variables = variables
+            if self.tiled is not None:
+                if self.tiled.mesh is not None:
+                    from stf_unet_tpu.core.mesh import replicate
+                    self.tiled.variables = replicate(self.tiled.mesh,
+                                                     variables)
+                else:
+                    self.tiled.variables = variables
+            return info
 
     # -- request processing ------------------------------------------------
 
@@ -191,6 +239,14 @@ def _make_handler(server: SegmentationServer):
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            if url.path == "/v1/reload":
+                try:
+                    info = server.reload()
+                except Exception as e:
+                    self._send_json(409, {"error": str(e)})
+                    return
+                self._send_json(200, {"reloaded": True, **info})
+                return
             if url.path != "/v1/segment":
                 self._send_json(404, {"error": "not found"})
                 return

@@ -370,3 +370,68 @@ def test_tiled_warmup_geometries_precompile(tiny_model, data_cfg):
         h, w = (int(v) for v in geom.split("x"))
         tp.predict(np.zeros((T_STEPS, h, w, 1), np.uint8))
     assert set(tp._fns) == {(T_STEPS, 40, 48, 1), (T_STEPS, 52, 36, 1)}
+
+
+def test_http_reload_swaps_weights_without_recompile(tiny_model, data_cfg):
+    """POST /v1/reload: the reloader's variables replace the serving
+    weights in place — predictions change, compiled buckets are reused,
+    and a tree/shape mismatch is rejected with 409."""
+    model, variables = tiny_model
+    state = {"v": variables, "info": {"checkpoint": "ck0", "epoch": 1,
+                                      "best_dice": 0.5}}
+
+    def reloader():
+        return state["v"], dict(state["info"])
+
+    srv = SegmentationServer(model, variables, data_cfg, model_name="unet",
+                             port=0, max_batch=2, reloader=reloader)
+    srv.start()
+    try:
+        host, port = srv.address
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (T_STEPS, CROP, CROP), dtype=np.uint8)
+
+        def segment():
+            buf = io.BytesIO()
+            np.savez(buf, frames=frames)
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/segment?format=npz",
+                data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                with np.load(io.BytesIO(r.read())) as npz:
+                    return np.asarray(npz["mask"])
+
+        def post_reload():
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/reload", data=b"", method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        logits_before = segment()
+        compiled = set(srv.engine._fns)
+
+        # new weights: re-init with a different seed -> predictions differ
+        x = jnp.zeros((1, T_STEPS, CROP, CROP, 1))
+        state["v"] = model.init(jax.random.key(7),
+                                preprocess_input(x, model), train=False)
+        state["info"] = {"checkpoint": "ck1", "epoch": 2, "best_dice": 0.9}
+        out = post_reload()
+        assert out["reloaded"] and out["checkpoint"] == "ck1"
+        logits_after = segment()
+        assert set(srv.engine._fns) == compiled  # no recompile
+        assert not np.array_equal(logits_before, logits_after)
+
+        # shape mismatch -> 409 and the serving weights stay usable
+        bad_cfg = ModelConfig(model="unet", num_classes=1, base_c=8,
+                              time_steps=T_STEPS)
+        bad = create_model(bad_cfg)
+        state["v"] = bad.init(jax.random.key(0),
+                              preprocess_input(x, bad), train=False)
+        try:
+            post_reload()
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        np.testing.assert_array_equal(segment(), logits_after)
+    finally:
+        srv.stop()
