@@ -185,10 +185,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     server.start()
     host, port = server.address
     print(f"listening on http://{host}:{port}  "
-          f"(POST /v1/segment, GET /healthz, GET /metrics)")
+          f"(POST /v1/segment, POST /v1/reload, GET /healthz, GET /metrics)")
+    import signal
+    import threading
+    stop = threading.Event()
+    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C: stop
+    # accepting, finish in-flight batches, exit 0.
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
     try:
-        import threading
-        threading.Event().wait()
+        stop.wait()
+        print("SIGTERM: shutting down")
     except KeyboardInterrupt:
         print("shutting down")
     finally:

@@ -223,7 +223,7 @@ def _make_handler(server: SegmentationServer):
                     "model": server.model_name,
                     "requests": server.stats.requests,
                 })
-            elif self.path == "/metrics":
+            elif self.path.startswith("/metrics"):
                 out = server.stats.summary()
                 sizes = server.batcher.batch_sizes
                 out["batches"] = len(sizes)
@@ -231,7 +231,29 @@ def _make_handler(server: SegmentationServer):
                                      if sizes else 0.0)
                 out["compiled_shapes"] = [list(s) for s
                                           in server.engine._fns]
-                self._send_json(200, out)
+                if "format=prometheus" in (self.path.split("?", 1) + [""])[1]:
+                    # Prometheus text exposition for standard scrapers.
+                    lines = [
+                        "# TYPE stf_requests_total counter",
+                        f"stf_requests_total {out['requests']}",
+                        "# TYPE stf_errors_total counter",
+                        f"stf_errors_total {out['errors']}",
+                        "# TYPE stf_latency_ms summary",
+                    ]
+                    for q, v in out["latency_ms"].items():
+                        lines.append(
+                            "stf_latency_ms{quantile=\"0."
+                            + q[1:] + "\"} " + str(v))
+                    lines += [
+                        "# TYPE stf_batches_total counter",
+                        f"stf_batches_total {out['batches']}",
+                        "# TYPE stf_mean_batch_size gauge",
+                        f"stf_mean_batch_size {out['mean_batch']}",
+                    ]
+                    self._send(200, ("\n".join(lines) + "\n").encode(),
+                               "text/plain; version=0.0.4")
+                else:
+                    self._send_json(200, out)
             else:
                 self._send_json(404, {"error": "not found"})
 

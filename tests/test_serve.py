@@ -435,3 +435,15 @@ def test_http_reload_swaps_weights_without_recompile(tiny_model, data_cfg):
         np.testing.assert_array_equal(segment(), logits_after)
     finally:
         srv.stop()
+
+
+def test_metrics_prometheus_format(server):
+    host, port = server.address
+    with urllib.request.urlopen(
+            f"http://{host}:{port}/metrics?format=prometheus",
+            timeout=30) as r:
+        body = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/plain")
+    assert "stf_requests_total" in body
+    assert 'stf_latency_ms{quantile="0.50"}' in body
+    assert "stf_mean_batch_size" in body
