@@ -94,6 +94,26 @@ class TestModelQuantization:
         assert err < 0.06, err
         assert agree > 0.98, agree
 
+    def test_flagship_stflstm_calibrate_and_quantize(self):
+        """The STF-LSTM-UNet quantizes through the folded B*T encoder,
+        per-scale LSTM fusion convs, decoder and head — every nn.Conv
+        calibrates; the LSTM itself stays float."""
+        model = create_model(ModelConfig(model="stflstm", num_classes=1,
+                                         base_c=4, time_steps=2))
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 2, 16, 16, 1))
+                        .astype(np.float32))
+        xin = preprocess_input(x, model)
+        variables = model.init(jax.random.key(0), xin, train=False)
+        scales = quant.calibrate(model, variables, [xin])
+        assert len(scales) == 48
+        qvars = quant.quantize_variables(variables, scales)
+        ref = np.asarray(model.apply(variables, xin, train=False)["out"])
+        out = np.asarray(quant.QuantizedModel(model).apply(
+            qvars, xin, train=False)["out"])
+        agree = (np.argmax(out, -1) == np.argmax(ref, -1)).mean()
+        assert agree > 0.97, agree
+
     def test_exclude_falls_back_to_exact_float(self):
         model = _unet()
         variables, xin = _init_unet(model)
