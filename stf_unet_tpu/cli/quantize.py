@@ -54,6 +54,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--exclude", type=str, default="",
                    help="comma-separated conv paths to keep in float "
                         "(e.g. final head paths; default: quantize all)")
+    p.add_argument("--dtype", type=str, default="bf16",
+                   choices=["bf16", "f32"],
+                   help="compute dtype for calibration AND the accuracy "
+                        "report (default bf16 — cli/serve's default, so "
+                        "the printed delta is serve-bf16 vs serve-int8, "
+                        "the comparison that gates deployment)")
     return p.parse_args(argv)
 
 
@@ -77,7 +83,9 @@ def quantize(args: argparse.Namespace) -> dict:
     model, state, data_cfg, model_cfg, ckpt, kind, num_classes = (
         restore_for_inference(args.model, args.model_dir, root=args.root,
                               use_pk_maps=args.use_pk_maps,
-                              use_subtraction=args.use_subtraction))
+                              use_subtraction=args.use_subtraction,
+                              dtype=(jnp.bfloat16 if args.dtype == "bf16"
+                                     else None)))
     variables = state.variables()
     seq_types = data_cfg.resolved_sequence_types
     print(f"model_path: {ckpt._path(kind)}")

@@ -22,13 +22,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from stf_unet_tpu.core.config import DataConfig, ModelConfig, OptimConfig
-from stf_unet_tpu.models.registry import create_model
 from stf_unet_tpu.data.index import DatasetIndex
-from stf_unet_tpu.train.checkpoint import CheckpointManager
 from stf_unet_tpu.train.loop import eval_batches_from_index, evaluate
-from stf_unet_tpu.train.schedule import warmup_poly_schedule
-from stf_unet_tpu.train.state import create_train_state, make_optimizer
 from stf_unet_tpu.viz.overlay import save_overlay
 
 

@@ -303,6 +303,7 @@ def main(cfg: TrainConfig) -> dict:
                           config_json=cfg_json, seed=cfg.seed,
                           step_in_epoch=steps_done if partial else None)
                 preempted = True
+                resume_kind = "latest"
                 break
 
             # Multi-host: each process evaluates its shard of the val set and
@@ -384,6 +385,9 @@ def main(cfg: TrainConfig) -> dict:
             # host at the same point (agreement, like the in-loop check).
             if guard.should_stop(increment=False):
                 preempted = True
+                # With --save-best false this epoch's save went to
+                # epoch{N}, not "latest" — point resume at what exists.
+                resume_kind = "latest" if cfg.save_best else f"epoch{epoch}"
                 break
     finally:
         guard.uninstall()
@@ -395,8 +399,8 @@ def main(cfg: TrainConfig) -> dict:
             multihost_utils.sync_global_devices("preempt_ckpt_drain")
         if is_main:
             print(f"Preemption/stop honored: resumable checkpoint saved "
-                  f"({ckpt._path('latest')}); continue with "
-                  f"--resume latest")
+                  f"({ckpt._path(resume_kind)}); continue with "
+                  f"--resume {resume_kind}")
         return {"preempted": True, "best_dice": best_dice}
 
     ckpt.wait()  # drain queued saves before reading checkpoints back

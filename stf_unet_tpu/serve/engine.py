@@ -105,6 +105,12 @@ class InferenceEngine:
         b = self._n_dev  # mesh size is a power of two; 1 when unmeshed
         while b < n and b < max_batch:
             b *= 2
+        if b > max_batch:
+            # A non-power-of-two --max-batch is an operator MEMORY cap:
+            # never pad past it (the overshoot bucket would compile and
+            # run a batch the flag was set to prevent). Keep the bucket a
+            # multiple of the mesh size so shards stay non-empty.
+            b = max(max_batch - max_batch % self._n_dev, self._n_dev)
         return b
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -164,7 +170,10 @@ class DynamicBatcher:
         self._queues: Dict[Tuple[int, ...], deque] = {}
         self._order: deque = deque()  # shapes in arrival order
         self._stop = False
-        self.batch_sizes: List[int] = []  # observed batch sizes (stats)
+        # Observed batch sizes: bounded window (a long-running server must
+        # not grow per-batch state without limit) + a lifetime counter.
+        self.batch_sizes: deque = deque(maxlen=4096)
+        self.total_batches = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -227,6 +236,7 @@ class DynamicBatcher:
                 return
             images = np.stack([r.image for r in batch], axis=0)
             self.batch_sizes.append(len(batch))
+            self.total_batches += 1
             try:
                 masks = self.engine.predict(images)
                 for r, m in zip(batch, masks):

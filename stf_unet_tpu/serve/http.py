@@ -225,8 +225,8 @@ def _make_handler(server: SegmentationServer):
                 })
             elif self.path.startswith("/metrics"):
                 out = server.stats.summary()
-                sizes = server.batcher.batch_sizes
-                out["batches"] = len(sizes)
+                sizes = list(server.batcher.batch_sizes)  # bounded window
+                out["batches"] = server.batcher.total_batches
                 out["mean_batch"] = (round(sum(sizes) / len(sizes), 2)
                                      if sizes else 0.0)
                 out["compiled_shapes"] = [list(s) for s
@@ -261,6 +261,11 @@ def _make_handler(server: SegmentationServer):
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            # ALWAYS drain the body: HTTP/1.1 keep-alive connections
+            # desynchronize if unread bytes are left on rfile (the next
+            # request line parses mid-body).
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = self.rfile.read(length) if length else b""
             if url.path == "/v1/reload":
                 try:
                     info = server.reload()
@@ -276,26 +281,42 @@ def _make_handler(server: SegmentationServer):
             fmt = qs.get("format", ["json"])[0]
             full = qs.get("full_size", ["0"])[0] in ("1", "true")
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                payload = self.rfile.read(length)
                 with np.load(io.BytesIO(payload)) as npz:
                     frames = np.asarray(npz["frames"])
                 if frames.ndim != 3 or frames.dtype != np.uint8:
                     raise ValueError(
                         f"frames must be uint8 [T, H, W]; got "
                         f"{frames.dtype} {frames.shape}")
-                t0 = time.perf_counter()
-                mask = server.segment(frames, full_size=full)
-                server.stats.record((time.perf_counter() - t0) * 1000.0)
-            except Exception as e:
+            except Exception as e:  # the CLIENT's payload is malformed
                 server.stats.record_error()
                 self._send_json(400, {"error": str(e)})
                 return
+            try:
+                t0 = time.perf_counter()
+                mask = server.segment(frames, full_size=full)
+                server.stats.record((time.perf_counter() - t0) * 1000.0)
+            except TimeoutError as e:  # transient: retryable, not a 4xx
+                server.stats.record_error()
+                self._send_json(503, {"error": str(e)})
+                return
+            except Exception as e:  # server-side failure (device/compile)
+                server.stats.record_error()
+                self._send_json(500, {"error": str(e)})
+                return
+            # Masks with class indices past a byte must not wrap: the
+            # engine already picked int32 for >256-class models.
+            fits_u8 = int(mask.max(initial=0)) <= 255
             if fmt == "npz":
                 buf = io.BytesIO()
-                np.savez_compressed(buf, mask=mask.astype(np.uint8))
+                np.savez_compressed(
+                    buf, mask=mask.astype(np.uint8) if fits_u8 else mask)
                 self._send(200, buf.getvalue(), "application/octet-stream")
             elif fmt == "png":
+                if not fits_u8:
+                    self._send_json(400, {
+                        "error": "png format supports <=256 classes; "
+                                 "use ?format=npz"})
+                    return
                 from PIL import Image
 
                 buf = io.BytesIO()

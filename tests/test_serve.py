@@ -447,3 +447,18 @@ def test_metrics_prometheus_format(server):
     assert "stf_requests_total" in body
     assert 'stf_latency_ms{quantile="0.50"}' in body
     assert "stf_mean_batch_size" in body
+
+
+def test_bucket_never_exceeds_max_batch(tiny_model, data_cfg):
+    """--max-batch is an operator memory cap: a non-power-of-two value
+    must never be padded PAST (the old doubling overshot 5->8 under
+    max_batch=6)."""
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                          max_batch=6)
+    assert [eng._bucket(n, 6) for n in (1, 2, 3, 4, 5, 6)] == \
+        [1, 2, 4, 4, 6, 6]
+    rng = np.random.default_rng(2)
+    x5 = rng.integers(0, 256, (5, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    assert eng.predict(x5).shape == (5, CROP, CROP)
+    assert max(s[0] for s in eng._fns) <= 6
