@@ -69,6 +69,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "per-shape full-conv compile")
     p.add_argument("--tile-overlap", type=float, default=0.5,
                    help="tile overlap fraction for --tiled (default 0.5)")
+    p.add_argument("--tta", action="store_true",
+                   help="flip test-time augmentation: serve the 4-"
+                        "orientation logit ensemble (ops/tta.py) — ~4x "
+                        "device time per request for a quality bump; "
+                        "composes with --tiled/--dtype/--data-parallel")
     p.add_argument("--warmup-geometries", type=str, default="",
                    help="comma-separated HxW native-resolution geometries "
                         "to pre-compile for --tiled at startup (e.g. "
@@ -110,6 +115,12 @@ def build_server(args: argparse.Namespace):
         variables = quant.quantize_variables(variables, scales)
         model = quant.QuantizedModel(model)
         print(f"int8 serving: {len(scales)} convs quantized ({spath})")
+
+    if args.tta:
+        from stf_unet_tpu.ops.tta import FlipTTAModel
+
+        model = FlipTTAModel(model)
+        print("flip TTA: serving the 4-orientation logit ensemble")
 
     mesh = None
     if args.data_parallel != 1:
