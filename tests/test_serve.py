@@ -462,3 +462,30 @@ def test_bucket_never_exceeds_max_batch(tiny_model, data_cfg):
     x5 = rng.integers(0, 256, (5, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
     assert eng.predict(x5).shape == (5, CROP, CROP)
     assert max(s[0] for s in eng._fns) <= 6
+
+
+def test_http_timeout_maps_to_503(tiny_model, data_cfg):
+    """Server-side inference timeouts are 503 (retryable), not 400: load
+    balancers must not treat a slow compile / busy device as a client
+    error."""
+    model, variables = tiny_model
+    srv = SegmentationServer(model, variables, data_cfg, model_name="unet",
+                             port=0, max_batch=2,
+                             infer_timeout_s=1e-6)  # guaranteed to trip
+    srv.start()
+    try:
+        host, port = srv.address
+        frames = np.zeros((T_STEPS, CROP, CROP), np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames)
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/segment", data=buf.getvalue(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert "timed out" in json.loads(e.read())["error"]
+    finally:
+        srv.stop()
