@@ -179,3 +179,37 @@ def test_mesh_sharded_tiles_match_single_device(tiny_model):
     sharded = TiledPredictor(model, variables, mesh=create_mesh(8),
                              **kw).predict(img)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_tiled_composes_with_quantized_and_tta_models():
+    """TiledPredictor drives any .apply-contract model: the int8
+    QuantizedModel and FlipTTAModel wrappers must tile identically to
+    their direct forwards (the cli/serve --tiled --dtype int8 / --tta
+    compositions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import DataConfig, ModelConfig
+    from stf_unet_tpu.models.registry import create_model, preprocess_input
+    from stf_unet_tpu.ops import quant
+    from stf_unet_tpu.ops.tta import FlipTTAModel
+    from stf_unet_tpu.serve.tiled import TiledPredictor
+
+    data_cfg = DataConfig(crop_size=16)
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4, time_steps=2)
+    model = create_model(cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 2, 16, 16, 1)).astype(np.float32))
+    xin = preprocess_input(x, model)
+    variables = model.init(jax.random.key(0), xin, train=False)
+
+    scales = quant.calibrate(model, variables, [xin])
+    qvars = quant.quantize_variables(variables, scales)
+    qmodel = quant.QuantizedModel(model)
+    vol = rng.integers(0, 256, (2, 24, 24, 1), dtype=np.uint8)  # off-tile
+
+    for m, v in ((qmodel, qvars), (FlipTTAModel(model), variables)):
+        pred = TiledPredictor(m, v, data_cfg.mean, data_cfg.std,
+                              tile=16, overlap=0.5).predict(vol)
+        assert pred.shape == (24, 24)
+        assert set(np.unique(pred)).issubset({0, 1})
