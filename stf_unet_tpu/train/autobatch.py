@@ -33,6 +33,9 @@ def device_budget_bytes() -> Optional[int]:
     return int(limit) if limit else None
 
 
+_MEASURE_MEMO: dict = {}
+
+
 def measure_step_memory(cfg, t_total: int, batch: int,
                         canvas: Optional[Tuple[int, int]] = None
                         ) -> Tuple[int, int]:
@@ -49,7 +52,16 @@ def measure_step_memory(cfg, t_total: int, batch: int,
     cfg.data.base_size when the dataset's native slices are larger would
     undercount every canvas-proportional term and pick an OOMing batch.
     Defaults to (base_size, base_size) for datasets already at base
-    scale."""
+    scale.
+
+    Memoized per process (the measurement is a pure function of the
+    config): pick_batch_size probes two batches, and repeated calls —
+    retries, tests, a second pick in the same run — must not pay the AOT
+    compile again."""
+    from stf_unet_tpu.core.config import config_to_json
+    memo_key = (config_to_json(cfg), t_total, batch, canvas)
+    if memo_key in _MEASURE_MEMO:
+        return _MEASURE_MEMO[memo_key]
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +108,9 @@ def measure_step_memory(cfg, t_total: int, batch: int,
                     + ch * cw                    # uint8 mask
                     + 2 * 4)                     # sizes int32
     state_bytes = int(ma.argument_size_in_bytes) - batch * sample_bytes
-    return int(ma.temp_size_in_bytes), state_bytes
+    result = (int(ma.temp_size_in_bytes), state_bytes)
+    _MEASURE_MEMO[memo_key] = result
+    return result
 
 
 def pick_batch_size(cfg, t_total: int, n_shards: int = 1,
