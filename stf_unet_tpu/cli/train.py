@@ -273,6 +273,21 @@ def main(cfg: TrainConfig) -> dict:
     # (train/preempt.py); multi-host stops are collectively agreed.
     guard = PreemptionGuard(num_hosts, cfg.stop_after_steps)
     preempted = False
+
+    def _val_batches():
+        return eval_batches_from_index(val_index, cfg.data,
+                                       use_pk_maps=cfg.data.use_pk_maps,
+                                       batch_size=cfg.eval_batch_size,
+                                       host_index=host_index,
+                                       num_hosts=num_hosts)
+
+    if cfg.data.cache_ram:
+        # The val set re-decodes every epoch otherwise; with --data-cache-ram
+        # the replayed batches are byte-identical (deterministic resize).
+        from stf_unet_tpu.train.loop import CachedEvalBatches
+        val_batches = CachedEvalBatches(_val_batches)
+    else:
+        val_batches = None
     try:
         for epoch in range(start_epoch, cfg.epochs):
             if cfg.test_only:
@@ -313,11 +328,7 @@ def main(cfg: TrainConfig) -> dict:
             # below stays unsharded so the main process renders every sample.
             metrics = evaluate(
                 state.with_ema_weights(), model,
-                eval_batches_from_index(val_index, cfg.data,
-                                        use_pk_maps=cfg.data.use_pk_maps,
-                                        batch_size=cfg.eval_batch_size,
-                                        host_index=host_index,
-                                        num_hosts=num_hosts),
+                val_batches if val_batches is not None else _val_batches(),
                 num_classes, data_cfg=cfg.data,
                 reduce_across_processes=num_hosts > 1,
                 # Single-process only: multi-host val is already sharded at

@@ -302,6 +302,32 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
     }
 
 
+class CachedEvalBatches:
+    """Replayable eval batches: the first full iteration decodes/resizes
+    (via `factory()`) and caches every (image, target) uint8 batch; later
+    iterations replay the cached list byte-identically. The val set is
+    re-evaluated EVERY epoch over the same files with the same
+    deterministic preprocessing — on few-core hosts that decode is the
+    val-epoch floor, paid once here. Partial first iterations (an
+    interrupted eval) don't poison the cache: completeness is marked only
+    at exhaustion."""
+
+    def __init__(self, factory: Callable):
+        self._factory = factory
+        self._items: list = []
+        self._complete = False
+
+    def __iter__(self):
+        if self._complete:
+            yield from self._items
+            return
+        self._items = []
+        for batch in self._factory():
+            self._items.append(batch)
+            yield batch
+        self._complete = True
+
+
 def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
                             batch_size: int = 1, prefetch: int = 2,
                             bucket_by_shape: bool = True, raw: bool = True,

@@ -551,3 +551,32 @@ def test_cache_ram_requires_fixed_canvas(synthetic_root, capsys):
     assert not loader.cache_ram  # disabled with a warning, not broken
     assert "cache_ram disabled" in capsys.readouterr().out
     list(loader.epoch(0))  # still iterates via the decode path
+
+
+def test_cached_eval_batches_replay_identical(synthetic_root):
+    """CachedEvalBatches: second iteration replays byte-identical batches
+    without re-invoking the factory; an interrupted first pass does not
+    poison the cache."""
+    from stf_unet_tpu.core.config import DataConfig
+    from stf_unet_tpu.train.loop import (CachedEvalBatches,
+                                         eval_batches_from_index)
+
+    idx = DatasetIndex(synthetic_root, "val", SEQS)
+    cfg = DataConfig(crop_size=32)
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return eval_batches_from_index(idx, cfg, prefetch=0)
+
+    cached = CachedEvalBatches(factory)
+    it = iter(cached)
+    next(it)  # interrupted first pass
+    del it
+    first = [(i.copy(), t.copy()) for i, t in cached]   # full pass
+    second = list(cached)
+    assert calls["n"] == 2  # interrupted + full; the replay doesn't call
+    assert len(first) == len(second) > 0
+    for (i1, t1), (i2, t2) in zip(first, second):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(t1, t2)
