@@ -127,7 +127,8 @@ def quantize(args: argparse.Namespace) -> dict:
               "float): " + ", ".join(exclude))
 
     scales_path = quant.scales_path_for(ckpt._path(kind))
-    quant.save_scales(scales_path, scales)
+    quant.save_scales(scales_path, scales,
+                      checkpoint_meta=ckpt.read_meta(kind))
     print(f"scales -> {scales_path}")
 
     result = {"scales_path": scales_path, "num_convs": len(scales)}

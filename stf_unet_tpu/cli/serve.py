@@ -111,7 +111,8 @@ def build_server(args: argparse.Namespace):
                 f"error: {spath} not found — calibrate first: python -m "
                 f"stf_unet_tpu.cli.quantize --model {args.model} "
                 f"--model-dir {args.model_dir} --root <dataset>")
-        scales = quant.load_scales(spath)
+        scales = quant.load_scales(spath,
+                                   checkpoint_meta=ckpt.read_meta(kind))
         variables = quant.quantize_variables(variables, scales)
         model = quant.QuantizedModel(model)
         print(f"int8 serving: {len(scales)} convs quantized ({spath})")
@@ -152,8 +153,9 @@ def build_server(args: argparse.Namespace):
             from stf_unet_tpu.ops import quant
 
             v2 = quant.quantize_variables(
-                v2, quant.load_scales(quant.scales_path_for(
-                    ckpt._path(kind2))))
+                v2, quant.load_scales(
+                    quant.scales_path_for(ckpt._path(kind2)),
+                    checkpoint_meta=meta))
         return v2, {"checkpoint": ckpt._path(kind2),
                     "epoch": meta.get("epoch"),
                     "best_dice": meta.get("best_dice")}

@@ -209,17 +209,37 @@ class QuantizedModel:
         return getattr(self._model, name)
 
 
-def save_scales(path: str, scales: Mapping[str, float]) -> None:
+def save_scales(path: str, scales: Mapping[str, float],
+                checkpoint_meta: Optional[Mapping[str, Any]] = None) -> None:
+    """checkpoint_meta: identity of the calibrated checkpoint (epoch /
+    best_dice from its meta.json sidecar) — consumers warn when the
+    checkpoint has been retrained since calibration (stale scales serve a
+    different network than the one whose accuracy delta was printed)."""
+    doc: Dict[str, Any] = {"version": 1, "scales": dict(scales)}
+    if checkpoint_meta:
+        doc["checkpoint"] = {k: checkpoint_meta.get(k)
+                             for k in ("epoch", "best_dice")}
     with open(path, "w") as f:
-        json.dump({"version": 1, "scales": dict(scales)}, f, indent=1,
-                  sort_keys=True)
+        json.dump(doc, f, indent=1, sort_keys=True)
 
 
-def load_scales(path: str) -> Dict[str, float]:
+def load_scales(path: str, checkpoint_meta: Optional[Mapping[str, Any]]
+                = None) -> Dict[str, float]:
+    """checkpoint_meta: pass the CURRENT checkpoint's meta to get a loud
+    warning when the scales were calibrated against a different save
+    (re-run cli/quantize after retraining)."""
     with open(path) as f:
         doc = json.load(f)
     if "scales" not in doc:
         raise ValueError(f"{path} is not a quant_scales file")
+    saved = doc.get("checkpoint")
+    if checkpoint_meta is not None and saved:
+        current = {k: checkpoint_meta.get(k) for k in ("epoch", "best_dice")}
+        if current != saved:
+            print(f"WARNING: {path} was calibrated against checkpoint "
+                  f"{saved} but the current checkpoint is {current} — "
+                  "the printed accuracy delta no longer applies; re-run "
+                  "cli/quantize")
     return {k: float(v) for k, v in doc["scales"].items()}
 
 

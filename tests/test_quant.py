@@ -219,3 +219,20 @@ class TestIntegration:
         assert os.path.exists(res["scales_path"])
         assert res["num_convs"] == 19
         assert abs(res["dice_delta"]) < 0.05
+
+
+def test_scales_staleness_warning(tmp_path, capsys):
+    """Scales carry the calibrated checkpoint's identity; loading against
+    a retrained checkpoint warns loudly (the printed accuracy delta no
+    longer applies)."""
+    path = str(tmp_path / "quant_scales.json")
+    quant.save_scales(path, {"c": 1.0},
+                      checkpoint_meta={"epoch": 3, "best_dice": 0.9})
+    quant.load_scales(path, checkpoint_meta={"epoch": 3, "best_dice": 0.9})
+    assert "WARNING" not in capsys.readouterr().out
+    quant.load_scales(path, checkpoint_meta={"epoch": 7, "best_dice": 0.95})
+    assert "re-run cli/quantize" in capsys.readouterr().out
+    # legacy files without identity load silently
+    quant.save_scales(path, {"c": 1.0})
+    quant.load_scales(path, checkpoint_meta={"epoch": 7})
+    assert "WARNING" not in capsys.readouterr().out
