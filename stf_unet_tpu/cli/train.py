@@ -41,6 +41,30 @@ from stf_unet_tpu.train.state import create_train_state, make_optimizer
 from stf_unet_tpu.viz.comparison import save_comparison
 
 
+def _open_pack(cfg: TrainConfig, mode: str, required: bool = False):
+    """Open the split's dataset pack under --data-pack, or None.
+
+    The training split must exist when --data-pack is given (that's the
+    split the flag is for); a missing val/test pack falls back to the
+    decode path with a note — packing only the training split is a valid
+    workflow (pack contents are identity-validated against the live index
+    either way, so a stale pack still fails loudly)."""
+    if not cfg.data.pack_dir:
+        return None
+    from stf_unet_tpu.data.pack import open_split_pack
+    try:
+        pack = open_split_pack(cfg.data.pack_dir, mode)
+    except FileNotFoundError:
+        if required:
+            raise
+        print(f"note: no '{mode}' pack under {cfg.data.pack_dir}; "
+              "decoding that split from the image tree")
+        return None
+    print(f"dataset pack [{mode}]: {len(pack)} samples, "
+          f"canvas {pack.canvas} (decode-free)")
+    return pack
+
+
 def main(cfg: TrainConfig) -> dict:
     host_index, num_hosts = 0, 1
     if cfg.multihost:
@@ -158,13 +182,15 @@ def main(cfg: TrainConfig) -> dict:
     # the global array from the per-process slices.
     local_batch = max(1, batch_size // num_hosts)
 
+    train_pack = _open_pack(cfg, "train", required=True)
     loader = HostLoader(train_index, local_batch, shuffle=True, seed=cfg.seed,
                         use_pk_maps=cfg.data.use_pk_maps,
                         drop_last=mesh is not None,
                         prefetch=cfg.data.prefetch,
                         host_index=host_index, num_hosts=num_hosts,
                         mask_format=cfg.data.mask_format,
-                        cache_ram=cfg.data.cache_ram)
+                        cache_ram=cfg.data.cache_ram,
+                        pack=train_pack)
     augment = TrainAugment(cfg.data)
 
     policy = make_policy(cfg.amp)
@@ -274,12 +300,15 @@ def main(cfg: TrainConfig) -> dict:
     guard = PreemptionGuard(num_hosts, cfg.stop_after_steps)
     preempted = False
 
+    val_pack = _open_pack(cfg, "val")
+
     def _val_batches():
         return eval_batches_from_index(val_index, cfg.data,
                                        use_pk_maps=cfg.data.use_pk_maps,
                                        batch_size=cfg.eval_batch_size,
                                        host_index=host_index,
-                                       num_hosts=num_hosts)
+                                       num_hosts=num_hosts,
+                                       pack=val_pack)
 
     if cfg.data.cache_ram:
         # The val set re-decodes every epoch otherwise; with --data-cache-ram
@@ -441,7 +470,8 @@ def main(cfg: TrainConfig) -> dict:
     test_metrics = evaluate(
         state.with_ema_weights(), model,
         eval_batches_from_index(test_index, cfg.data,
-                                use_pk_maps=cfg.data.use_pk_maps),
+                                use_pk_maps=cfg.data.use_pk_maps,
+                                pack=_open_pack(cfg, "test")),
         num_classes, collect_outputs=True, data_cfg=cfg.data)
 
     for idx, (logits, (image, target)) in enumerate(zip(

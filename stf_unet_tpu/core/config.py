@@ -45,6 +45,11 @@ class DataConfig:
     # (loader._cached_batch): converts decode-bound epochs to device-bound
     # on few-core hosts. Prints the memory estimate at startup.
     cache_ram: bool = False
+    # Packed dataset root (data/pack.py; build with stf-pack): holds one
+    # pack per split (train/val/test) of pre-decoded, canvas-packed uint8
+    # samples served by memmap — zero image decode at run time, any epoch,
+    # no RAM pin. "" = decode from the image tree as usual.
+    pack_dir: str = ""
     # Background-thread host->device transfer depth for the train loop
     # (train/loop.py:_batch_to_device); 0 transfers inline.
     device_prefetch: int = 2
@@ -283,6 +288,7 @@ def parse_config(argv: Optional[Sequence[str]] = None,
         "--use-pk-maps": ("data_use_pk_maps", _parse_bool),
         "--use-subtraction": ("data_use_subtraction", _parse_bool),
         "--tf32": ("matmul_precision_fast", _parse_bool),
+        "--data-pack": ("data_pack_dir", str),
     }
     existing = {opt for a in parser._actions for opt in a.option_strings}
     for flag, (dest, typ) in alias.items():

@@ -198,7 +198,7 @@ class HostLoader:
                  prefetch: int = 2, use_native: Optional[bool] = None,
                  host_index: int = 0, num_hosts: int = 1,
                  fixed_canvas: bool = True, mask_format: str = "binary",
-                 cache_ram: bool = False):
+                 cache_ram: bool = False, pack=None):
         self.index = index
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -218,8 +218,22 @@ class HostLoader:
         # fused augment+train program compiles exactly once (per-batch-max
         # canvases would recompile the whole step per slice geometry).
         # Probing is header-only (native stf_image_size / PIL lazy open).
+        # Packed-dataset source (data/pack.py): batches come straight off
+        # the pack's memmaps — no decode at all, any epoch. The pack's own
+        # canvas wins (all packed arrays share it), and cache_ram is
+        # redundant (the OS page cache already holds hot pack pages).
+        self.pack = pack
+        if pack is not None:
+            pack.validate(index, mask_format=mask_format,
+                          use_pk_maps=use_pk_maps)
+            if cache_ram:
+                print("note: --data-cache-ram ignored — the dataset pack "
+                      "already serves decoded bytes")
+                cache_ram = False
         self.canvas: Optional[Tuple[int, int]] = None
-        if fixed_canvas and len(index) > 0:
+        if pack is not None:
+            self.canvas = pack.canvas
+        elif fixed_canvas and len(index) > 0:
             self.canvas = self._probe_canvas()
         # In-RAM decoded-sample cache: the first epoch decodes and caches
         # the canvas-packed uint8 sample (frames/mask/pk/size); later
@@ -350,7 +364,11 @@ class HostLoader:
                   for i in range(0, len(order), self.batch_size)]
         if skip_batches:
             chunks = chunks[skip_batches:]
-        if self.cache_ram:
+        if self.pack is not None:
+            batches = (self.pack.batch([int(i) for i in chunk],
+                                       use_pk_maps=self.use_pk_maps)
+                       for chunk in chunks)
+        elif self.cache_ram:
             batches = (self._cached_batch([int(i) for i in chunk])
                        for chunk in chunks)
         else:

@@ -1,0 +1,212 @@
+"""Packed dataset format: one-time decode into memmappable uint8 blobs.
+
+The reference re-decodes every JPEG/PNG in DataLoader workers each epoch
+(ref:my_dataset.py:143-179); on few-core TPU hosts decode is the measured
+end-to-end training bound (PERFORMANCE.md). ``--data-cache-ram`` fixes
+epochs >= 1 but still decodes epoch 0 and holds the whole dataset in RAM.
+A pack is the input-pipeline answer TPU stacks standardize on
+(TFRecord/ArrayRecord-style): decode ONCE with ``stf-pack``, then every
+run memory-maps canvas-packed uint8 samples straight off the page cache —
+zero decode at train time, zero RAM requirement, identical bytes.
+
+Layout of a pack directory (one per split):
+
+    meta.json   version, canvas, T, N, mask_format, has_pk, record keys
+    frames.u8   [N, T, H, W] uint8 (canvas-padded, fill 0)
+    masks.u8    [N, H, W]    uint8 (processed labels; pad/ignore 255)
+    sizes.i32   [N, 2]       int32 original (h, w) per sample
+    pk.u8       [N, 3, H, W] uint8 (only when packed with PK maps)
+
+Masks are stored POST label decode (binary //255 like ref:my_dataset.py:
+166-168, or raw class indices for ``mask_format="index"``), exactly the
+form HostLoader batches hold — so pack-fed batches are byte-identical to
+decode-fed ones (pinned by tests/test_pack.py).
+
+The writer drives the normal HostLoader decode path (native C++ decoder
+when available), so a pack inherits every decode-parity guarantee the
+loader has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.data.loader import Batch, HostLoader
+
+PACK_VERSION = 1
+_META = "meta.json"
+_FRAMES = "frames.u8"
+_MASKS = "masks.u8"
+_SIZES = "sizes.i32"
+_PK = "pk.u8"
+
+
+def record_key(rec) -> str:
+    """Stable, root-independent identity of a sample: the patient id plus
+    the first sequence frame's filename. Used to detect a pack that was
+    built from a different (or since-modified) dataset."""
+    return f"{rec.patient_id}/{os.path.basename(rec.image_paths[0])}"
+
+
+def write_pack(index: DatasetIndex, out_dir: str, *,
+               use_pk_maps: bool = False, mask_format: str = "binary",
+               canvas_multiple: int = 32, batch_size: int = 16,
+               use_native: Optional[bool] = None,
+               progress=None) -> dict:
+    """Decode every sample of `index` once and write the pack to `out_dir`.
+
+    Returns the meta dict. Decoding reuses HostLoader's batch path
+    (threaded native decode when available) in index order with a
+    dataset-wide fixed canvas, so packed bytes match what the live loader
+    would produce.
+    """
+    if len(index) == 0:
+        raise ValueError("refusing to pack an empty dataset index")
+    os.makedirs(out_dir, exist_ok=True)
+
+    loader = HostLoader(index, batch_size, shuffle=False,
+                        use_pk_maps=use_pk_maps, mask_format=mask_format,
+                        canvas_multiple=canvas_multiple, prefetch=2,
+                        use_native=use_native, fixed_canvas=True)
+    assert loader.canvas is not None
+    ch, cw = loader.canvas
+    n = len(index)
+    t = len(index.records[0].image_paths)
+
+    frames = np.lib.format.open_memmap(
+        os.path.join(out_dir, _FRAMES), mode="w+", dtype=np.uint8,
+        shape=(n, t, ch, cw))
+    masks = np.lib.format.open_memmap(
+        os.path.join(out_dir, _MASKS), mode="w+", dtype=np.uint8,
+        shape=(n, ch, cw))
+    sizes = np.lib.format.open_memmap(
+        os.path.join(out_dir, _SIZES), mode="w+", dtype=np.int32,
+        shape=(n, 2))
+    pk = None
+    if use_pk_maps:
+        pk = np.lib.format.open_memmap(
+            os.path.join(out_dir, _PK), mode="w+", dtype=np.uint8,
+            shape=(n, 3, ch, cw))
+
+    i = 0
+    for batch in loader.epoch(0):
+        b = batch.frames.shape[0]
+        frames[i:i + b] = batch.frames
+        masks[i:i + b] = batch.masks
+        sizes[i:i + b] = batch.sizes
+        if pk is not None:
+            pk[i:i + b] = batch.pk
+        i += b
+        if progress is not None:
+            progress(i, n)
+    assert i == n, f"pack wrote {i} of {n} samples"
+    for mm in (frames, masks, sizes) + ((pk,) if pk is not None else ()):
+        mm.flush()
+
+    meta = {
+        "version": PACK_VERSION,
+        "n": n,
+        "t": t,
+        "canvas": [ch, cw],
+        "mask_format": mask_format,
+        "has_pk": bool(use_pk_maps),
+        "mode": index.mode,
+        "record_keys": [record_key(r) for r in index.records],
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+class DatasetPack:
+    """Read side: memory-mapped access to a pack written by write_pack.
+
+    ``batch(idxs)`` returns a loader-compatible Batch; ``sample(i)``
+    returns the unpadded (frames, mask, pk, (h, w)) of one sample for the
+    eval path. Both are plain page-cache reads — no decode, no RAM pin.
+    """
+
+    def __init__(self, pack_dir: str):
+        meta_path = os.path.join(pack_dir, _META)
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(
+                f"no pack at '{pack_dir}' (missing {_META}); build one "
+                f"with: python -m stf_unet_tpu.cli.pack")
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        if self.meta.get("version") != PACK_VERSION:
+            raise ValueError(
+                f"pack version {self.meta.get('version')} != "
+                f"{PACK_VERSION}; rebuild with stf-pack")
+        self.pack_dir = pack_dir
+        self.n = int(self.meta["n"])
+        self.t = int(self.meta["t"])
+        self.canvas: Tuple[int, int] = tuple(self.meta["canvas"])
+        self.mask_format: str = self.meta["mask_format"]
+        self.has_pk: bool = bool(self.meta["has_pk"])
+        mm = lambda name: np.load(os.path.join(pack_dir, name),  # noqa: E731
+                                  mmap_mode="r")
+        self._frames = mm(_FRAMES)
+        self._masks = mm(_MASKS)
+        self._sizes = mm(_SIZES)
+        self._pk = mm(_PK) if self.has_pk else None
+
+    def __len__(self) -> int:
+        return self.n
+
+    def validate(self, index: DatasetIndex, *, mask_format: str,
+                 use_pk_maps: bool) -> None:
+        """Refuse to serve a pack that doesn't match the live dataset /
+        run configuration — a stale pack must fail loudly, not train on
+        wrong bytes."""
+        if mask_format != self.mask_format:
+            raise ValueError(
+                f"pack was built with mask_format='{self.mask_format}' "
+                f"but the run wants '{mask_format}'; rebuild the pack")
+        if use_pk_maps and not self.has_pk:
+            raise ValueError(
+                "run wants PK maps but the pack was built without "
+                "--use-pk-maps; rebuild the pack")
+        if index.mode != self.meta.get("mode"):
+            raise ValueError(
+                f"pack was built from the '{self.meta.get('mode')}' split "
+                f"but is being served to '{index.mode}'")
+        if len(index) != self.n:
+            raise ValueError(
+                f"pack holds {self.n} samples but the dataset index has "
+                f"{len(index)}; the dataset changed — rebuild the pack")
+        keys = self.meta["record_keys"]
+        for i in (0, self.n // 2, self.n - 1):
+            live = record_key(index.records[i])
+            if keys[i] != live:
+                raise ValueError(
+                    f"pack record {i} is '{keys[i]}' but the dataset has "
+                    f"'{live}'; the dataset changed — rebuild the pack")
+
+    def batch(self, idxs: Sequence[int], *, use_pk_maps: bool) -> Batch:
+        idxs = np.asarray(idxs, dtype=np.int64)
+        return Batch(
+            frames=np.asarray(self._frames[idxs]),
+            masks=np.asarray(self._masks[idxs]),
+            pk=(np.asarray(self._pk[idxs]) if use_pk_maps else None),
+            sizes=np.asarray(self._sizes[idxs]))
+
+    def sample(self, i: int, *, use_pk_maps: bool
+               ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray],
+                          Tuple[int, int]]:
+        h, w = (int(x) for x in self._sizes[i])
+        frames = np.asarray(self._frames[i, :, :h, :w])
+        mask = np.asarray(self._masks[i, :h, :w])
+        pk = np.asarray(self._pk[i, :, :h, :w]) if use_pk_maps else None
+        return frames, mask, pk, (h, w)
+
+
+def open_split_pack(pack_root: str, mode: str) -> "DatasetPack":
+    """Open `<pack_root>/<mode>` (the layout cli/pack writes: one
+    subdirectory per split named by its mode key: train/val/test)."""
+    return DatasetPack(os.path.join(pack_root, mode))

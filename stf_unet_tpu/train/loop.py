@@ -331,7 +331,8 @@ class CachedEvalBatches:
 def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
                             batch_size: int = 1, prefetch: int = 2,
                             bucket_by_shape: bool = True, raw: bool = True,
-                            host_index: int = 0, num_hosts: int = 1):
+                            host_index: int = 0, num_hosts: int = 1,
+                            pack=None):
     """Generator of eval-preprocessed (image, target) batches from a
     DatasetIndex (val/test loaders use batch_size=1, ref:train.py:206-211).
 
@@ -366,7 +367,16 @@ def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
 
     mask_format = getattr(cfg, "mask_format", "binary")
 
+    if pack is not None:  # packed source (data/pack.py): skip decode
+        pack.validate(index, mask_format=mask_format,
+                      use_pk_maps=use_pk_maps)
+
     def sample_iter():
+        if pack is not None:
+            for i in range(len(index))[host_index::num_hosts]:
+                frames, mask, pk, _ = pack.sample(i, use_pk_maps=use_pk_maps)
+                yield eval_preprocess(frames, mask, cfg, pk, raw=raw)
+            return
         for rec in records:
             frames, mask, pk = load_sample_raw_native(rec, use_pk_maps,
                                                       mask_format)
