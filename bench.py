@@ -150,7 +150,33 @@ def measure_reference_cpu() -> float:
     return BATCH / median
 
 
+def tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout: when the axon
+    TPU tunnel is down, jax.devices() hangs indefinitely (it does not
+    error), which would hang the whole bench. Only used when the selected
+    platform is not cpu."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",) \
+            and not tpu_reachable():
+        print(json.dumps({
+            "metric": "unet_train_slices_per_sec_per_chip",
+            "value": None,
+            "unit": "slices/sec",
+            "vs_baseline": None,
+            "error": "TPU backend unreachable (axon tunnel down): "
+                     "jax.devices() hung past the probe timeout",
+        }))
+        raise SystemExit(1)
     try:  # warm-start repeat runs; the measured loop is warm either way
         from stf_unet_tpu.core.cache import enable_compilation_cache
         enable_compilation_cache()

@@ -63,9 +63,42 @@ def migrate(path: str, model: str, save_dir: str, kind: str = "best",
     return out
 
 
+def export_to_torch(output: str, model: str, save_dir: str,
+                    kind: str = "best", use_pk_maps: bool = False) -> str:
+    """Reverse migration: Orbax checkpoint -> reference-compatible .pth
+    (utils/torch_export.py). The written pickle is
+    {"model": state_dict, "epoch": N} — exactly what the reference's
+    loaders read (ref:test.py:142-146, ref:utils.py:27-50). EMA weights
+    are exported when the checkpoint carries them (they are what this
+    framework serves)."""
+    from stf_unet_tpu.cli.common import restore_inference_state
+    from stf_unet_tpu.utils.torch_export import (export_stflstm_state_dict,
+                                                 export_unet_state_dict,
+                                                 to_torch)
+
+    ckpt = CheckpointManager(save_dir, model, "_pk" if use_pk_maps else "")
+    if not ckpt.exists(kind):
+        raise FileNotFoundError(f"{model}_{kind}_model not found in "
+                                f"{save_dir}")
+    state, meta = restore_inference_state(ckpt, kind)
+    export = (export_unet_state_dict if model == "unet"
+              else export_stflstm_state_dict)
+    sd = to_torch(export(state.params, state.batch_stats))
+
+    import torch
+    payload = {"model": sd, "epoch": int(meta.get("epoch", 0))}
+    if "best_dice" in meta:
+        payload["best_dice"] = float(meta["best_dice"])
+    torch.save(payload, output)
+    print(f"exported {ckpt._path(kind)} -> {output} "
+          f"({len(sd)} tensors, reference torch layout)")
+    return output
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("checkpoint")
+    ap.add_argument("checkpoint",
+                    help="source .pth (forward) or OUTPUT .pth (--reverse)")
     ap.add_argument("--model", required=True, choices=["unet", "stflstm"])
     ap.add_argument("--save-dir", default="./save_weights")
     ap.add_argument("--kind", default="best")
@@ -73,7 +106,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--base-c", type=int, default=64)
     ap.add_argument("--time-steps", type=int, default=8)
     ap.add_argument("--use-pk-maps", action="store_true")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export the Orbax checkpoint in --save-dir to a "
+                         "reference-compatible torch .pth at CHECKPOINT")
     a = ap.parse_args(argv)
+    if a.reverse:
+        export_to_torch(a.checkpoint, a.model, a.save_dir, a.kind,
+                        a.use_pk_maps)
+        return
     migrate(a.checkpoint, a.model, a.save_dir, a.kind, a.num_classes,
             a.base_c, a.time_steps, a.use_pk_maps)
 

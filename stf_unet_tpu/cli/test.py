@@ -78,6 +78,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "{id, hflip, vflip, hvflip} (4 forwards/sample; "
                         "ops/tta.py — composes with --tiled and "
                         "--data-parallel)")
+    p.add_argument("--data-pack", type=str, default="",
+                   help="dataset pack root (stf-pack): serve pre-decoded "
+                        "samples by memmap instead of decoding images")
     return p.parse_args(argv)
 
 
@@ -111,6 +114,13 @@ def test(args: argparse.Namespace) -> dict:
 
     test_index = DatasetIndex(args.root, "test", seq_types,
                               use_pk_maps=args.use_pk_maps)
+    pack = None
+    if args.data_pack:
+        from stf_unet_tpu.data.pack import open_split_pack
+        pack = open_split_pack(args.data_pack, "test")
+        pack.validate(test_index, mask_format=data_cfg.mask_format,
+                      use_pk_maps=args.use_pk_maps)
+        print(f"dataset pack [test]: {len(pack)} samples (decode-free)")
 
     if args.tta:
         from stf_unet_tpu.ops.tta import FlipTTAModel
@@ -126,7 +136,7 @@ def test(args: argparse.Namespace) -> dict:
 
     if args.tiled:
         return _test_tiled(args, model, state, data_cfg, num_classes,
-                           test_index, mesh=mesh)
+                           test_index, mesh=mesh, pack=pack)
 
     if mesh is not None and args.batch_size % mesh.size != 0:
         print(f"warning: --batch-size {args.batch_size} is not a multiple "
@@ -138,7 +148,7 @@ def test(args: argparse.Namespace) -> dict:
         state, model,
         eval_batches_from_index(test_index, data_cfg,
                                 use_pk_maps=args.use_pk_maps,
-                                batch_size=args.batch_size),
+                                batch_size=args.batch_size, pack=pack),
         num_classes, collect_outputs=True, data_cfg=data_cfg, mesh=mesh)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -159,7 +169,7 @@ def test(args: argparse.Namespace) -> dict:
 
 def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
                 num_classes: int, test_index: DatasetIndex,
-                mesh=None) -> dict:
+                mesh=None, pack=None) -> dict:
     """Native-resolution test pass: sliding-window tiles at the trained
     crop geometry (serve/tiled.TiledPredictor — one jitted program per
     volume geometry), metrics accumulated against the NATIVE-resolution
@@ -184,9 +194,13 @@ def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
     print(f"Running tiled native-resolution inference on test set "
           f"(tile={predictor.tile}, stride={predictor.stride})...")
     for idx, rec in enumerate(test_index.records):
-        frames, mask, pk = load_sample_raw_native(
-            rec, use_pk_maps=args.use_pk_maps,
-            mask_format=data_cfg.mask_format)
+        if pack is not None:  # decode-free native-resolution frames
+            frames, mask, pk, _ = pack.sample(idx,
+                                              use_pk_maps=args.use_pk_maps)
+        else:
+            frames, mask, pk = load_sample_raw_native(
+                rec, use_pk_maps=args.use_pk_maps,
+                mask_format=data_cfg.mask_format)
         img = frames if pk is None else np.concatenate([frames, pk], axis=0)
         pred = predictor.predict(img[..., None])
         pred_j = jnp.asarray(pred)[None]

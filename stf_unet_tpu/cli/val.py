@@ -69,6 +69,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="shard each batch over N devices "
                          "(0 = all visible; identical metrics)")
+    ap.add_argument("--data-pack", type=str, default="",
+                    help="dataset pack root (stf-pack): serve pre-decoded "
+                         "samples by memmap instead of decoding images")
     args = ap.parse_args(argv)
 
     config = load_or_create_config(args.config)
@@ -110,6 +113,14 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     index = DatasetIndex(args.root, args.split, seqs,
                          use_pk_maps=data_cfg.use_pk_maps)
+    pack = None
+    if args.data_pack:
+        from stf_unet_tpu.data.pack import open_split_pack
+        pack = open_split_pack(args.data_pack, args.split)
+        pack.validate(index, mask_format=data_cfg.mask_format,
+                      use_pk_maps=data_cfg.use_pk_maps)
+        print(f"dataset pack [{args.split}]: {len(pack)} samples "
+              "(decode-free)")
 
     iou_avg = AverageMeter()
     dice_avg = AverageMeter()
@@ -125,7 +136,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     print("Starting validation...")
     for i, (image, target) in enumerate(eval_batches_from_index(
             index, data_cfg, use_pk_maps=data_cfg.use_pk_maps,
-            batch_size=int(config["batch_size"]))):
+            batch_size=int(config["batch_size"]), pack=pack)):
         image_j = jnp.asarray(image)
         if mesh is not None:
             from stf_unet_tpu.core import mesh as mesh_lib

@@ -124,3 +124,15 @@ def test_pack_cli_then_train_cli(pack_root, tmp_path):
     ])
     assert np.isfinite(result["test"]["dice"])
     assert glob.glob(os.path.join(tmp_path, "output", "unet_results_*.txt"))
+
+    # cli/test with and without --data-pack: identical metrics
+    from stf_unet_tpu.cli.test import main as test_main
+    base = ["--model", "unet",
+            "--model-dir", os.path.join(tmp_path, "weights"),
+            "--root", pack_root,
+            "--output-dir", os.path.join(tmp_path, "output", "t")]
+    plain = test_main(base)
+    packed = test_main(base + ["--data-pack", out_root])
+    assert packed["dice"] == plain["dice"]
+    np.testing.assert_array_equal(packed["confusion_matrix"],
+                                  plain["confusion_matrix"])
