@@ -150,33 +150,47 @@ def measure_reference_cpu() -> float:
     return BATCH / median
 
 
-def tpu_reachable(timeout_s: float = 240.0) -> bool:
+def tpu_reachable(timeout_s: float = 240.0):
     """Probe backend init in a SUBPROCESS with a timeout: when the axon
     TPU tunnel is down, jax.devices() hangs indefinitely (it does not
-    error), which would hang the whole bench. Only used when the selected
-    platform is not cpu."""
+    error), which would hang the whole bench. Returns None when reachable,
+    else a diagnostic string (timeout vs the subprocess's actual stderr —
+    a fast ImportError/plugin failure is NOT a down tunnel)."""
     import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+            timeout=timeout_s, capture_output=True, text=True)
     except subprocess.TimeoutExpired:
-        return False
+        return (f"jax.devices() hung past the {timeout_s:.0f}s probe "
+                "timeout (axon tunnel down)")
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return "backend init failed: " + " | ".join(tail)
+    return None
 
 
 def main() -> None:
-    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",) \
-            and not tpu_reachable():
-        print(json.dumps({
-            "metric": "unet_train_slices_per_sec_per_chip",
-            "value": None,
-            "unit": "slices/sec",
-            "vs_baseline": None,
-            "error": "TPU backend unreachable (axon tunnel down): "
-                     "jax.devices() hung past the probe timeout",
-        }))
-        raise SystemExit(1)
+    # CPU runs (either pin spelling) skip the TPU probe — but the env var
+    # alone does not actually select cpu (the axon plugin overrides
+    # JAX_PLATFORMS at import), so apply the pin via jax.config here,
+    # exactly like tests/conftest.py and dryrun_multichip do.
+    wants_cpu = (os.environ.get("STF_UNET_PLATFORM", "").lower() == "cpu"
+                 or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu")
+    if wants_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        problem = tpu_reachable()
+        if problem is not None:
+            print(json.dumps({
+                "metric": "unet_train_slices_per_sec_per_chip",
+                "value": None,
+                "unit": "slices/sec",
+                "vs_baseline": None,
+                "error": f"TPU backend unreachable: {problem}",
+            }))
+            raise SystemExit(1)
     try:  # warm-start repeat runs; the measured loop is warm either way
         from stf_unet_tpu.core.cache import enable_compilation_cache
         enable_compilation_cache()

@@ -301,6 +301,18 @@ def main(cfg: TrainConfig) -> dict:
     preempted = False
 
     val_pack = _open_pack(cfg, "val")
+    if val_pack is not None:  # fail on a stale pack NOW, not at epoch end
+        val_pack.validate(val_index, mask_format=cfg.data.mask_format,
+                          use_pk_maps=cfg.data.use_pk_maps)
+    # Same for the test-phase pack: a mismatch must abort at startup, not
+    # after every training epoch has already run.
+    test_pack = _open_pack(cfg, "test")
+    if test_pack is not None:
+        test_pack.validate(
+            DatasetIndex(cfg.data.data_path, "test", seq_types,
+                         use_pk_maps=cfg.data.use_pk_maps),
+            mask_format=cfg.data.mask_format,
+            use_pk_maps=cfg.data.use_pk_maps)
 
     def _val_batches():
         return eval_batches_from_index(val_index, cfg.data,
@@ -471,7 +483,7 @@ def main(cfg: TrainConfig) -> dict:
         state.with_ema_weights(), model,
         eval_batches_from_index(test_index, cfg.data,
                                 use_pk_maps=cfg.data.use_pk_maps,
-                                pack=_open_pack(cfg, "test")),
+                                pack=test_pack),
         num_classes, collect_outputs=True, data_cfg=cfg.data)
 
     for idx, (logits, (image, target)) in enumerate(zip(

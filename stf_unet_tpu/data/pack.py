@@ -47,10 +47,14 @@ _PK = "pk.u8"
 
 
 def record_key(rec) -> str:
-    """Stable, root-independent identity of a sample: the patient id plus
-    the first sequence frame's filename. Used to detect a pack that was
-    built from a different (or since-modified) dataset."""
-    return f"{rec.patient_id}/{os.path.basename(rec.image_paths[0])}"
+    """Stable, root-independent identity of a sample: patient id, the
+    first frame's sequence directory (so VIBRANT vs SUB packs can never be
+    confused — both have 8 frames and identical slice filenames), and the
+    slice filename. Used to detect a pack built from a different (or
+    since-modified) dataset."""
+    seq_dir = os.path.basename(os.path.dirname(rec.image_paths[0]))
+    return (f"{rec.patient_id}/{seq_dir}/"
+            f"{os.path.basename(rec.image_paths[0])}")
 
 
 def write_pack(index: DatasetIndex, out_dir: str, *,
@@ -181,12 +185,13 @@ class DatasetPack:
                 f"pack holds {self.n} samples but the dataset index has "
                 f"{len(index)}; the dataset changed — rebuild the pack")
         keys = self.meta["record_keys"]
-        for i in (0, self.n // 2, self.n - 1):
-            live = record_key(index.records[i])
+        for i, rec in enumerate(index.records):  # every key — string
+            live = record_key(rec)               # compares are cheap
             if keys[i] != live:
                 raise ValueError(
                     f"pack record {i} is '{keys[i]}' but the dataset has "
-                    f"'{live}'; the dataset changed — rebuild the pack")
+                    f"'{live}'; the dataset (or sequence selection) "
+                    "changed — rebuild the pack")
 
     def batch(self, idxs: Sequence[int], *, use_pk_maps: bool) -> Batch:
         idxs = np.asarray(idxs, dtype=np.int64)

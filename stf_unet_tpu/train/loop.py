@@ -405,7 +405,11 @@ def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
         if buf_img:
             yield _collate_eval(buf_img, buf_tgt)
 
-    yield from prefetch_iterator(batch_iter(), prefetch)
+    # A plain return (not `yield from`) keeps this function NON-generator:
+    # the pack validation above must run at CALL time, not at first
+    # iteration — a stale test pack should fail when the run starts, not
+    # after N training epochs.
+    return prefetch_iterator(batch_iter(), prefetch)
 
 
 def _collate_eval(imgs, tgts):

@@ -89,6 +89,16 @@ def test_pack_validation_failures(train_pack, pack_root):
     val_index = DatasetIndex(pack_root, "val", SEQ)
     with pytest.raises(ValueError):
         pack.validate(val_index, mask_format="binary", use_pk_maps=False)
+    # sequence-set mismatch: SUB sequences have the same patients, slice
+    # filenames, count, and T — only the sequence dir distinguishes them
+    make_synthetic_breadm(pack_root, size=48, time_steps=8,
+                          patients_per_split=2, slices_per_patient=2,
+                          sequence_prefix="SUB", splits=("training",))
+    sub_index = DatasetIndex(
+        pack_root, "train", tuple(f"SUB{i}" for i in range(1, 9)))
+    assert len(sub_index) == len(index)
+    with pytest.raises(ValueError, match="sequence"):
+        pack.validate(sub_index, mask_format="binary", use_pk_maps=False)
     # cache_ram is ignored (not an error) when a pack serves the bytes
     loader = HostLoader(index, 2, shuffle=False, prefetch=0, pack=pack,
                         cache_ram=True)
