@@ -33,6 +33,25 @@ class DataConfig:
     # Dataset statistics computed offline (ref:train.py:146-148).
     mean: float = 0.709
     std: float = 0.127
+    # Beyond-reference on-device augmentations (all default OFF = the
+    # reference's augmentation distribution exactly). They run inside the
+    # same fused jitted augment program; when off they add zero ops.
+    # Elastic deformation (Simard-style, control-grid form): each sample
+    # draws a [grid, grid, 2] normal field scaled by alpha (source-space
+    # pixels), bilinearly upsampled to the crop and added to the warp
+    # coordinates — the nearest-sampled mask shares the SAME displaced
+    # coordinates, so labels stay aligned. Shared-augmentation mode only.
+    elastic_alpha: float = 0.0
+    elastic_grid: int = 4
+    elastic_prob: float = 0.5
+    # Photometric jitter on the [0,1] frame intensities (PK maps and mask
+    # untouched; one draw per sample shared across T — DCE-MRI semantics
+    # live in temporal intensity DIFFERENCES, so per-frame photometric
+    # draws would corrupt the signal the models read).
+    brightness: float = 0.0    # multiplicative factor ~ U(1-b, 1+b)
+    contrast: float = 0.0      # (v - mean)*f + mean, f ~ U(1-c, 1+c)
+    gamma_jitter: float = 0.0  # v ** f, f ~ U(1-g, 1+g)
+    noise_std: float = 0.0     # additive N(0, std) in [0,1] scale
     # Mask pixel encoding: "binary" = //255 like the reference
     # (ref:my_dataset.py:166-168 — tumor stored as 255); "index" = pixels
     # already hold class indices 0..num_classes (the multiclass extension

@@ -275,6 +275,44 @@ def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
     return bil, near
 
 
+def _elastic_offsets(key: jax.Array, crop: int, alpha: float, grid: int,
+                     prob: float) -> Tuple[jax.Array, jax.Array]:
+    """Per-sample elastic displacement field (dy, dx) [crop, crop] in
+    source-space pixels: a [grid, grid, 2] normal control field scaled by
+    alpha, bilinearly upsampled — the control-grid form of Simard elastic
+    augmentation (grid spacing plays the role of the Gaussian sigma;
+    coarse grid = smooth, large-scale deformation). Zeroed with
+    probability 1-prob."""
+    k_field, k_apply = jax.random.split(key)
+    field = jax.random.normal(k_field, (grid, grid, 2)) * alpha
+    on = (jax.random.uniform(k_apply, ()) < prob).astype(jnp.float32)
+    field = jax.image.resize(field, (crop, crop, 2), method="linear") * on
+    return field[..., 0], field[..., 1]
+
+
+def _photometric(key: jax.Array, v: jax.Array, cfg: DataConfig) -> jax.Array:
+    """Photometric jitter on [0,1] intensities [T, H, W]; one draw per
+    sample shared across T (temporal-difference semantics preserved).
+    Only the knobs that are enabled contribute ops (config is static)."""
+    k = jax.random.split(key, 4)
+    if cfg.brightness > 0.0:
+        f = jax.random.uniform(k[0], (), minval=1.0 - cfg.brightness,
+                               maxval=1.0 + cfg.brightness)
+        v = v * f
+    if cfg.contrast > 0.0:
+        f = jax.random.uniform(k[1], (), minval=1.0 - cfg.contrast,
+                               maxval=1.0 + cfg.contrast)
+        m = v.mean()
+        v = (v - m) * f + m
+    if cfg.gamma_jitter > 0.0:
+        f = jax.random.uniform(k[2], (), minval=1.0 - cfg.gamma_jitter,
+                               maxval=1.0 + cfg.gamma_jitter)
+        v = jnp.clip(v, 1e-6, 1.0) ** f
+    if cfg.noise_std > 0.0:
+        v = v + jax.random.normal(k[3], v.shape) * cfg.noise_std
+    return jnp.clip(v, 0.0, 1.0)
+
+
 class TrainAugment:
     """Batched fused augmentation. Call with a raw uint8 host batch."""
 
@@ -283,6 +321,19 @@ class TrainAugment:
         self.min_size = int(0.5 * cfg.base_size)   # ref:train.py:59
         self.max_size = int(1.2 * cfg.base_size)
         self.crop = cfg.crop_size
+        # Beyond-reference augmentations (default off). When any is on,
+        # the per-sample key splits into geometry/elastic/photometric
+        # streams; when all are off the key handling — and hence every
+        # drawn augmentation — is bit-identical to earlier releases.
+        self.photometric = (cfg.brightness > 0.0 or cfg.contrast > 0.0
+                            or cfg.gamma_jitter > 0.0 or cfg.noise_std > 0.0)
+        self.elastic = cfg.elastic_alpha > 0.0
+        if self.elastic and not cfg.shared_frame_augmentation:
+            print("note: elastic deformation requires shared-frame "
+                  "augmentation; ignoring --data-elastic-alpha in the "
+                  "per-frame re-roll quirk mode")
+            self.elastic = False
+        self.extended = self.photometric or self.elastic
 
     @functools.partial(jax.jit, static_argnums=0)
     def __call__(self, key: jax.Array, frames: jax.Array, masks: jax.Array,
@@ -304,6 +355,8 @@ class TrainAugment:
         def one(k, frames_i, mask_i, size_i, pk_i):
             src_h = size_i[0].astype(jnp.float32)
             src_w = size_i[1].astype(jnp.float32)
+            if self.extended:  # static: default path keeps k untouched
+                k, k_el, k_ph = jax.random.split(k, 3)
 
             def draw(kk):
                 params = _sample_params(
@@ -321,6 +374,15 @@ class TrainAugment:
                 # bf16-exact; half the gathered bytes, 1.76x on the taps)
                 # and normalized after.
                 gy, gx = draw(k)
+                if self.elastic:
+                    # Source-space displacement shared by the bilinear
+                    # frame taps AND the nearest mask tap (same gy/gx), so
+                    # labels deform with the image.
+                    dy, dx = _elastic_offsets(
+                        k_el, crop, self.cfg.elastic_alpha,
+                        self.cfg.elastic_grid, self.cfg.elastic_prob)
+                    gy = gy + dy
+                    gx = gx + dx
                 raw = frames_i if pk_i is None else jnp.concatenate(
                     [frames_i, pk_i], axis=0)
                 warped_all, near = _warp_bilinear_and_nearest(
@@ -352,6 +414,8 @@ class TrainAugment:
                 tgt = _nearest_gather(mask_i.astype(jnp.int32), gy, gx,
                                       src_h, src_w, fill=0)
 
+            if self.photometric:  # frames only; PK maps/mask untouched
+                warped = _photometric(k_ph, warped, self.cfg)
             warped = (warped - self.cfg.mean) / self.cfg.std
             if pk_i is not None:
                 pk_w = (pk_w - self.cfg.mean) / self.cfg.std
