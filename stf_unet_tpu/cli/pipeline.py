@@ -68,13 +68,23 @@ def run_pipeline(args: argparse.Namespace) -> dict:
     solver = fit_lm if pk_cfg.solver == "lm" else fit_adam
 
     index = DatasetIndex(args.root, args.split, seqs)
+    pack = None
+    if getattr(args, "data_pack", ""):
+        from stf_unet_tpu.data.pack import open_split_pack
+        pack = open_split_pack(args.data_pack, args.split)
+        pack.validate(index, mask_format="binary", use_pk_maps=False)
+        print(f"dataset pack [{args.split}]: {len(pack)} samples "
+              "(decode-free)")
     os.makedirs(args.output_dir, exist_ok=True)
 
     fwd_cache = {}
     timer = AverageMeter()
     n_done = 0
     for i, rec in enumerate(index.records):
-        frames, mask, _ = load_sample_raw(rec)
+        if pack is not None:
+            frames, mask, _, _ = pack.sample(i, use_pk_maps=False)
+        else:
+            frames, mask, _ = load_sample_raw(rec)
         # transfer-lean: ship the PIL-parity-resized uint8 frames and
         # normalize inside the jitted forward (train/loop r3 eval path)
         image, _ = eval_preprocess(frames, mask, data_cfg, raw=True)
@@ -150,6 +160,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     ap.add_argument("--enhanced", action="store_true",
                     help="Otsu/bilateral PK preprocessing + param-map "
                          "postprocessing (ref:test_pk_fitting.py fork)")
+    ap.add_argument("--data-pack", type=str, default="",
+                    help="dataset pack root (stf-pack): decode-free "
+                         "sample reads")
     return run_pipeline(ap.parse_args(argv))
 
 
