@@ -28,9 +28,12 @@ from stf_unet_tpu.data.pack import write_pack
 
 def pack_split(data_cfg: DataConfig, mode: str, out_root: str, *,
                batch_size: int = 16,
-               use_native: Optional[bool] = None) -> Optional[dict]:
+               use_native: Optional[bool] = None,
+               eval_size: Optional[int] = None) -> Optional[dict]:
     """Pack one split to <out_root>/<mode>. Returns the meta dict, or
-    None when the split directory doesn't exist (partial datasets)."""
+    None when the split directory doesn't exist (partial datasets).
+    eval_size additionally materializes the eval-geometry store
+    (pre-resized eval samples; see data/pack.py)."""
     seq_types = data_cfg.resolved_sequence_types
     try:
         index = DatasetIndex(data_cfg.data_path, mode, seq_types,
@@ -56,11 +59,14 @@ def pack_split(data_cfg: DataConfig, mode: str, out_root: str, *,
                       use_pk_maps=data_cfg.use_pk_maps,
                       mask_format=data_cfg.mask_format,
                       batch_size=batch_size, use_native=use_native,
+                      eval_size=eval_size,
                       progress=progress)
     ch, cw = meta["canvas"]
     gib = meta["n"] * meta["t"] * ch * cw / 2**30
+    eval_note = (f", eval store @ {meta['eval_size']}"
+                 if meta.get("eval_size") else "")
     print(f"[{mode}] packed {meta['n']} samples @ canvas {ch}x{cw} "
-          f"(~{gib:.2f} GiB frames) -> {out_dir} in "
+          f"(~{gib:.2f} GiB frames{eval_note}) -> {out_dir} in "
           f"{time.time() - t0:.1f}s")
     return meta
 
@@ -80,6 +86,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    choices=("binary", "index"))
     p.add_argument("--batch-size", type=int, default=16,
                    help="decode batch size (threaded native decoder)")
+    p.add_argument("--eval-size", type=int, default=-1,
+                   help="also store pre-resized eval samples at this "
+                        "short-edge size (default: the 224 eval size for "
+                        "val/test splits, ref:train.py:70-74; 0 disables)")
     args = p.parse_args(argv)
 
     seq = (tuple(s.strip() for s in args.sequence_types.split(",") if s.strip())
@@ -90,9 +100,19 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                           use_pk_maps=args.use_pk_maps,
                           mask_format=args.mask_format)
     out_root = args.output or os.path.join(args.data_path, "pack")
+
+    def split_eval_size(mode: str) -> Optional[int]:
+        if args.eval_size == 0:
+            return None
+        if args.eval_size > 0:
+            return args.eval_size
+        # default: eval store for the splits the eval path reads
+        return DataConfig().crop_size if mode in ("val", "test") else None
+
     packed = [m for m in (
         pack_split(data_cfg, mode.strip(), out_root,
-                   batch_size=args.batch_size)
+                   batch_size=args.batch_size,
+                   eval_size=split_eval_size(mode.strip()))
         for mode in args.splits.split(",") if mode.strip()) if m]
     if not packed:
         raise SystemExit("error: nothing packed (no splits found)")

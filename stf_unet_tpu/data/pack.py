@@ -17,6 +17,16 @@ Layout of a pack directory (one per split):
     sizes.i32   [N, 2]       int32 original (h, w) per sample
     pk.u8       [N, 3, H, W] uint8 (only when packed with PK maps)
 
+and, when built with ``eval_size`` (the val/test default in cli/pack), the
+EVAL-GEOMETRY store — the exact eval_preprocess(raw=True) output (PIL-parity
+short-edge resize to eval_size, ref:train.py:70-74) materialized at pack
+time so val/test epochs skip the host resize too:
+
+    eval_frames.u8  [N, TC, EH, EW] uint8 (TC = T (+3 with PK); eval-canvas
+                    padded, fill 0 — per-sample extents in eval_sizes)
+    eval_masks.u8   [N, EH, EW]     uint8 (nearest-resized labels)
+    eval_sizes.i32  [N, 2]          int32 resized (h', w') per sample
+
 Masks are stored POST label decode (binary //255 like ref:my_dataset.py:
 166-168, or raw class indices for ``mask_format="index"``), exactly the
 form HostLoader batches hold — so pack-fed batches are byte-identical to
@@ -44,6 +54,9 @@ _FRAMES = "frames.u8"
 _MASKS = "masks.u8"
 _SIZES = "sizes.i32"
 _PK = "pk.u8"
+_EVAL_FRAMES = "eval_frames.u8"
+_EVAL_MASKS = "eval_masks.u8"
+_EVAL_SIZES = "eval_sizes.i32"
 
 
 def record_key(rec) -> str:
@@ -61,6 +74,7 @@ def write_pack(index: DatasetIndex, out_dir: str, *,
                use_pk_maps: bool = False, mask_format: str = "binary",
                canvas_multiple: int = 32, batch_size: int = 16,
                use_native: Optional[bool] = None,
+               eval_size: Optional[int] = None,
                progress=None) -> dict:
     """Decode every sample of `index` once and write the pack to `out_dir`.
 
@@ -68,6 +82,13 @@ def write_pack(index: DatasetIndex, out_dir: str, *,
     (threaded native decode when available) in index order with a
     dataset-wide fixed canvas, so packed bytes match what the live loader
     would produce.
+
+    eval_size additionally materializes the EVAL-GEOMETRY store: each
+    sample run through eval_preprocess(raw=True) (PIL-parity short-edge
+    resize to eval_size) at pack time, so val/test epochs become pure
+    page-cache reads — no decode AND no host resize
+    (eval_batches_from_index uses it automatically when the run's
+    crop_size matches).
     """
     if len(index) == 0:
         raise ValueError("refusing to pack an empty dataset index")
@@ -122,9 +143,59 @@ def write_pack(index: DatasetIndex, out_dir: str, *,
         "mode": index.mode,
         "record_keys": [record_key(r) for r in index.records],
     }
+    if eval_size is not None and eval_size > 0:
+        meta.update(_write_eval_store(out_dir, frames, masks, sizes, pk,
+                                      eval_size))
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def _write_eval_store(out_dir: str, frames, masks, sizes, pk,
+                      eval_size: int) -> dict:
+    """Run every (unpadded) sample through the EXACT live eval transform
+    (data/transforms.eval_preprocess raw=True) and store the results on an
+    eval canvas. Byte-identity with the live path is by construction —
+    same function, same inputs."""
+    from stf_unet_tpu.core.config import DataConfig
+    from stf_unet_tpu.data.transforms import eval_preprocess
+
+    cfg = DataConfig(crop_size=eval_size)
+    n = frames.shape[0]
+    samples = []
+    eh = ew = 0
+    for i in range(n):
+        h, w = (int(x) for x in sizes[i])
+        imgs, mask_r = eval_preprocess(
+            np.asarray(frames[i, :, :h, :w]), np.asarray(masks[i, :h, :w]),
+            cfg, None if pk is None else np.asarray(pk[i, :, :h, :w]),
+            raw=True)
+        imgs = imgs[..., 0]  # [TC, h', w'] uint8
+        samples.append((imgs, mask_r))
+        eh = max(eh, imgs.shape[1])
+        ew = max(ew, imgs.shape[2])
+    tc = samples[0][0].shape[0]
+
+    ef = np.lib.format.open_memmap(
+        os.path.join(out_dir, _EVAL_FRAMES), mode="w+", dtype=np.uint8,
+        shape=(n, tc, eh, ew))
+    em = np.lib.format.open_memmap(
+        os.path.join(out_dir, _EVAL_MASKS), mode="w+", dtype=np.uint8,
+        shape=(n, eh, ew))
+    es = np.lib.format.open_memmap(
+        os.path.join(out_dir, _EVAL_SIZES), mode="w+", dtype=np.int32,
+        shape=(n, 2))
+    ef[:] = 0
+    em[:] = 0
+    for i, (imgs, mask_r) in enumerate(samples):
+        _, sh, sw = imgs.shape
+        ef[i, :, :sh, :sw] = imgs
+        em[i, :sh, :sw] = mask_r
+        es[i] = (sh, sw)
+    for mm in (ef, em, es):
+        mm.flush()
+    return {"eval_size": int(eval_size), "eval_canvas": [eh, ew],
+            "eval_has_pk": pk is not None}
 
 
 class DatasetPack:
@@ -159,6 +230,14 @@ class DatasetPack:
         self._masks = mm(_MASKS)
         self._sizes = mm(_SIZES)
         self._pk = mm(_PK) if self.has_pk else None
+        # Eval-geometry store (optional; packs written before it existed —
+        # or with --eval-size 0 — simply fall back to the live resize).
+        self.eval_size: Optional[int] = self.meta.get("eval_size")
+        self.eval_has_pk: bool = bool(self.meta.get("eval_has_pk", False))
+        if self.eval_size:
+            self._eval_frames = mm(_EVAL_FRAMES)
+            self._eval_masks = mm(_EVAL_MASKS)
+            self._eval_sizes = mm(_EVAL_SIZES)
 
     def __len__(self) -> int:
         return self.n
@@ -209,6 +288,24 @@ class DatasetPack:
         mask = np.asarray(self._masks[i, :h, :w])
         pk = np.asarray(self._pk[i, :, :h, :w]) if use_pk_maps else None
         return frames, mask, pk, (h, w)
+
+    def serves_eval(self, crop_size: int, use_pk_maps: bool) -> bool:
+        """True when the pre-materialized eval store matches this run's
+        eval geometry and PK selection (else callers fall back to the
+        live eval_preprocess over `sample`)."""
+        return (self.eval_size == crop_size
+                and self.eval_has_pk == use_pk_maps)
+
+    def eval_sample(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """The stored eval_preprocess(raw=True) output of sample i:
+        (uint8 [TC, h', w', 1], uint8 [h', w'])."""
+        if not self.eval_size:
+            raise ValueError("pack has no eval store; rebuild with "
+                             "stf-pack --eval-size")
+        sh, sw = (int(x) for x in self._eval_sizes[i])
+        imgs = np.asarray(self._eval_frames[i, :, :sh, :sw])
+        mask = np.asarray(self._eval_masks[i, :sh, :sw])
+        return imgs[..., None], mask
 
 
 def open_split_pack(pack_root: str, mode: str) -> "DatasetPack":

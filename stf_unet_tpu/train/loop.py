@@ -372,6 +372,20 @@ def eval_batches_from_index(index, cfg, *, use_pk_maps: bool = False,
                       use_pk_maps=use_pk_maps)
 
     def sample_iter():
+        if pack is not None and pack.serves_eval(cfg.crop_size, use_pk_maps):
+            # Eval-geometry store: the pack already holds this run's
+            # eval_preprocess(raw=True) output — no decode, no resize.
+            # raw=False applies the identical normalization expression
+            # (frames and PK channels share it, so normalizing the
+            # concatenated array matches eval_preprocess exactly).
+            for i in range(len(index))[host_index::num_hosts]:
+                imgs, mask = pack.eval_sample(i)
+                if raw:
+                    yield imgs, mask
+                else:
+                    yield ((imgs.astype(np.float32) / 255.0 - cfg.mean)
+                           / cfg.std, mask.astype(np.int32))
+            return
         if pack is not None:
             for i in range(len(index))[host_index::num_hosts]:
                 frames, mask, pk, _ = pack.sample(i, use_pk_maps=use_pk_maps)

@@ -105,6 +105,63 @@ def test_pack_validation_failures(train_pack, pack_root):
     assert not loader.cache_ram
 
 
+def test_pack_eval_store_byte_identical(pack_root, tmp_path):
+    """A pack built with eval_size serves val/test samples straight from
+    the pre-materialized eval store — byte-identical to the live
+    decode+resize path in both raw-uint8 and host-normalized modes."""
+    from stf_unet_tpu.train.loop import eval_batches_from_index
+
+    index = DatasetIndex(pack_root, "val", SEQ)
+    write_pack(index, str(tmp_path), eval_size=32)
+    pack = DatasetPack(str(tmp_path))
+    assert pack.eval_size == 32 and not pack.eval_has_pk
+    assert pack.serves_eval(32, use_pk_maps=False)
+    assert not pack.serves_eval(40, use_pk_maps=False)
+    assert not pack.serves_eval(32, use_pk_maps=True)
+
+    cfg = DataConfig(data_path=index.root, base_size=40, crop_size=32)
+    for raw in (True, False):
+        live = list(eval_batches_from_index(index, cfg, prefetch=0, raw=raw))
+        stored = list(eval_batches_from_index(index, cfg, prefetch=0,
+                                              raw=raw, pack=pack))
+        assert len(live) == len(stored) > 0
+        for (img0, tgt0), (img1, tgt1) in zip(live, stored):
+            assert np.asarray(img1).dtype == np.asarray(img0).dtype
+            np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+            np.testing.assert_array_equal(np.asarray(tgt0), np.asarray(tgt1))
+
+
+def test_pack_eval_store_with_pk_and_geometry_fallback(pack_root, tmp_path):
+    """PK channels ride the eval store; a crop-size mismatch falls back to
+    the live resize over pack.sample (same results, store unused)."""
+    from stf_unet_tpu.train.loop import eval_batches_from_index
+
+    index = DatasetIndex(pack_root, "val", SEQ, use_pk_maps=True)
+    write_pack(index, str(tmp_path), use_pk_maps=True, eval_size=32)
+    pack = DatasetPack(str(tmp_path))
+    assert pack.serves_eval(32, use_pk_maps=True)
+    img, tgt = pack.eval_sample(0)
+    assert img.shape[0] == 8 + 3  # frames + ktrans/ve/vp
+
+    for crop in (32, 24):  # 24 = geometry mismatch -> live fallback
+        cfg = DataConfig(data_path=index.root, base_size=40, crop_size=crop,
+                         use_pk_maps=True)
+        live = list(eval_batches_from_index(index, cfg, prefetch=0,
+                                            use_pk_maps=True))
+        stored = list(eval_batches_from_index(index, cfg, prefetch=0,
+                                              use_pk_maps=True, pack=pack))
+        for (img0, tgt0), (img1, tgt1) in zip(live, stored):
+            np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+            np.testing.assert_array_equal(np.asarray(tgt0), np.asarray(tgt1))
+
+
+def test_pack_without_eval_store_rejects_eval_sample(train_pack):
+    pack, _, _ = train_pack
+    assert pack.eval_size is None
+    with pytest.raises(ValueError, match="--eval-size"):
+        pack.eval_sample(0)
+
+
 def test_pack_missing_dir_message(tmp_path):
     with pytest.raises(FileNotFoundError, match="stf_unet_tpu.cli.pack"):
         open_split_pack(str(tmp_path), "train")
