@@ -1,0 +1,232 @@
+"""Training-curve plots from a run's metrics (stf-plot).
+
+The reference writes per-epoch results to ``*_results_*.txt``
+(ref:train.py:288-301) and plots nothing; this CLI renders the curves —
+from OUR results files, OUR ``*_metrics_*.jsonl`` logs (cli/train
+``jsonl_metrics``), or the REFERENCE's own results files (the formats are
+line-compatible by design, so a user can plot their historical reference
+runs unchanged).
+
+One input  -> a 2x2 dashboard (loss | dice+accuracy | lr | IoU/P/R).
+Many inputs -> a comparison figure (loss, dice) with one color per run.
+
+Usage:
+    stf-plot output/unet_results_0101-1200.txt
+    stf-plot runA_metrics.jsonl runB_results.txt --output compare.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence
+
+# Categorical palette (first three slots validate all-pairs, light mode)
+# + text/surface tokens; assigned in fixed order, never cycled.
+SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4",
+          "#008300", "#4a3aa7", "#e34948"]
+TEXT_PRIMARY = "#0b0b0b"
+TEXT_SECONDARY = "#52514e"
+SURFACE = "#fcfcfb"
+GRID = "#e3e2de"
+
+# results-.txt keys -> canonical series names (jsonl already uses the
+# canonical right-hand names except mean_* spellings).
+_KEYS = {
+    "train_loss": "train_loss",
+    "lr": "lr",
+    "dice": "dice",
+    "global_acc": "global_acc",
+    "mean_iou": "miou",
+    "mean_precision": "mprecision",
+    "mean_recall": "mrecall",
+    "miou": "miou",
+    "mprecision": "mprecision",
+    "mrecall": "mrecall",
+}
+
+_EPOCH_RE = re.compile(r"^\[epoch:\s*(\d+)\]")
+_KV_RE = re.compile(r"^([a-z_]+):\s*(-?[0-9.eE+-]+)\s*$")
+
+
+def parse_results_txt(path: str) -> Dict[str, List[float]]:
+    """Parse the per-epoch block format both this framework and the
+    reference write (``[epoch: N]`` then ``key: value`` lines; confusion
+    matrix text and blank lines are skipped)."""
+    series: Dict[str, List[float]] = {"epoch": []}
+    with open(path) as f:
+        for line in f:
+            m = _EPOCH_RE.match(line.strip())
+            if m:
+                series["epoch"].append(int(m.group(1)))
+                continue
+            if not series["epoch"]:
+                continue  # preamble (arg dump etc.)
+            kv = _KV_RE.match(line.strip())
+            if kv and kv.group(1) in _KEYS:
+                series.setdefault(_KEYS[kv.group(1)], []).append(
+                    float(kv.group(2)))
+    return series
+
+
+def parse_jsonl(path: str) -> Dict[str, List[float]]:
+    series: Dict[str, List[float]] = {"epoch": []}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            if "epoch" not in rec:
+                continue
+            series["epoch"].append(int(rec["epoch"]))
+            for k, v in rec.items():
+                if k != "epoch" and k in _KEYS and isinstance(v, (int, float)):
+                    series.setdefault(_KEYS[k], []).append(float(v))
+    return series
+
+
+def parse_run(path: str) -> Dict[str, List[float]]:
+    parsed = (parse_jsonl(path) if path.endswith(".jsonl")
+              else parse_results_txt(path))
+    if not parsed["epoch"]:
+        raise ValueError(f"no per-epoch records found in {path} (expected "
+                         "a *_results_*.txt block file or *_metrics_*.jsonl)")
+    return parsed
+
+
+def _style_axis(ax, title: str):
+    ax.set_facecolor(SURFACE)
+    ax.grid(True, color=GRID, linewidth=0.6)
+    ax.set_axisbelow(True)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_color(GRID)
+    ax.tick_params(colors=TEXT_SECONDARY, labelsize=8)
+    ax.set_title(title, color=TEXT_PRIMARY, fontsize=10, loc="left")
+    ax.set_xlabel("epoch", color=TEXT_SECONDARY, fontsize=8)
+
+
+def _plot_lines(ax, epochs, named_series, title: str):
+    """Lines in fixed palette order; legend only when >= 2 series (a single
+    series is named by the axis title)."""
+    _style_axis(ax, title)
+    for i, (name, ys) in enumerate(named_series):
+        if not ys:
+            continue
+        n = min(len(epochs), len(ys))
+        # Short runs need visible point marks — a 1-2 point "line" is
+        # otherwise invisible.
+        marker = dict(marker="o", markersize=4) if n <= 30 else {}
+        ax.plot(epochs[:n], ys[:n], color=SERIES[i], linewidth=1.8,
+                label=name, **marker)
+    if len([1 for _, ys in named_series if ys]) >= 2:
+        leg = ax.legend(fontsize=8, frameon=False)
+        for t in leg.get_texts():
+            t.set_color(TEXT_SECONDARY)
+
+
+def render_run(series: Dict[str, List[float]], out_png: str,
+               title: Optional[str] = None) -> None:
+    """2x2 dashboard for one run."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ep = series["epoch"]
+    fig, axes = plt.subplots(2, 2, figsize=(10, 7))
+    fig.patch.set_facecolor(SURFACE)
+    _plot_lines(axes[0, 0], ep, [("train_loss", series.get("train_loss"))],
+                "Training loss")
+    _plot_lines(axes[0, 1], ep, [("dice", series.get("dice")),
+                                 ("global accuracy",
+                                  series.get("global_acc"))],
+                "Validation dice / accuracy")
+    _plot_lines(axes[1, 0], ep, [("lr", series.get("lr"))], "Learning rate")
+    _plot_lines(axes[1, 1], ep, [("mean IoU", series.get("miou")),
+                                 ("mean precision", series.get("mprecision")),
+                                 ("mean recall", series.get("mrecall"))],
+                "Validation mean IoU / precision / recall")
+    if series.get("dice"):
+        best = max(series["dice"])
+        axes[0, 1].annotate(f"best {best:.4f}", color=TEXT_SECONDARY,
+                            fontsize=8, xy=(0.98, 0.02),
+                            xycoords="axes fraction", ha="right")
+    if title:
+        fig.suptitle(title, color=TEXT_PRIMARY, fontsize=12)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=140, facecolor=SURFACE)
+    plt.close(fig)
+
+
+def render_compare(runs: Dict[str, Dict[str, List[float]]],
+                   out_png: str) -> None:
+    """Loss + dice across runs, one color per run (the run is the entity;
+    colors assigned in fixed order). More than 8 runs won't get readable
+    hues — facet instead."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if len(runs) > len(SERIES):
+        raise ValueError(f"{len(runs)} runs > {len(SERIES)} palette slots; "
+                         "plot them in groups instead")
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.2))
+    fig.patch.set_facecolor(SURFACE)
+    for ax, key, title in ((axes[0], "train_loss", "Training loss"),
+                           (axes[1], "dice", "Validation dice")):
+        _style_axis(ax, title)
+        for i, (name, s) in enumerate(runs.items()):
+            ys = s.get(key)
+            if not ys:
+                continue
+            n = min(len(s["epoch"]), len(ys))
+            marker = dict(marker="o", markersize=4) if n <= 30 else {}
+            ax.plot(s["epoch"][:n], ys[:n], color=SERIES[i],
+                    linewidth=1.8, label=name, **marker)
+        leg = ax.legend(fontsize=8, frameon=False)
+        for t in leg.get_texts():
+            t.set_color(TEXT_SECONDARY)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=140, facecolor=SURFACE)
+    plt.close(fig)
+
+
+def _run_label(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def main(argv: Optional[Sequence[str]] = None) -> List[str]:
+    p = argparse.ArgumentParser(
+        description="Plot training curves from results .txt / metrics "
+                    ".jsonl files (this framework's or the reference's)")
+    p.add_argument("files", nargs="+",
+                   help="*_results_*.txt or *_metrics_*.jsonl run logs")
+    p.add_argument("--output", default=None,
+                   help="output PNG (default: <run>_curves.png next to the "
+                        "input; comparison default: compare_curves.png)")
+    p.add_argument("--title", default=None)
+    args = p.parse_args(argv)
+
+    written: List[str] = []
+    if len(args.files) == 1:
+        path = args.files[0]
+        out = args.output or os.path.splitext(path)[0] + "_curves.png"
+        render_run(parse_run(path), out,
+                   title=args.title or _run_label(path))
+        written.append(out)
+    else:
+        runs = {_run_label(f): parse_run(f) for f in args.files}
+        out = args.output or "compare_curves.png"
+        render_compare(runs, out)
+        written.append(out)
+    for w in written:
+        print(f"wrote {w}")
+    return written
+
+
+if __name__ == "__main__":
+    main()

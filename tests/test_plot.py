@@ -1,0 +1,98 @@
+"""stf-plot: training-curve rendering from results .txt (ours AND the
+reference's format, ref:train.py:288-301) and metrics .jsonl files."""
+
+import json
+import os
+
+import pytest
+
+from stf_unet_tpu.cli.plot import (main, parse_jsonl, parse_results_txt,
+                                   parse_run)
+
+REF_STYLE_BLOCKS = """\
+[epoch: 0]
+train_loss: 0.9123
+lr: 0.000500
+dice: 0.5120
+global_acc: 0.9011
+mean_iou: 0.4410
+mean_precision: 0.6012
+mean_recall: 0.5521
+global correct: 90.1
+average row correct: ['91.2', '45.0']
+IoU: ['89.9', '30.1']
+mean IoU: 60.0
+
+[epoch: 1]
+train_loss: 0.6018
+lr: 0.000450
+dice: 0.7233
+global_acc: 0.9455
+mean_iou: 0.6120
+mean_precision: 0.7512
+mean_recall: 0.7021
+global correct: 94.6
+average row correct: ['95.2', '65.0']
+IoU: ['93.9', '50.1']
+mean IoU: 72.0
+
+"""
+
+
+def test_parse_results_txt(tmp_path):
+    path = str(tmp_path / "unet_results_0101-1200.txt")
+    # arg-dump preamble (the reference writes one) must be skipped
+    with open(path, "w") as f:
+        f.write("Namespace(lr=0.0005, epochs=2)\n\n" + REF_STYLE_BLOCKS)
+    s = parse_results_txt(path)
+    assert s["epoch"] == [0, 1]
+    assert s["train_loss"] == [0.9123, 0.6018]
+    assert s["dice"] == [0.512, 0.7233]
+    assert s["miou"] == [0.441, 0.612]
+    assert s["mrecall"] == [0.5521, 0.7021]
+    assert s["lr"] == [0.0005, 0.00045]
+
+
+def test_parse_jsonl(tmp_path):
+    path = str(tmp_path / "unet_metrics_0101.jsonl")
+    with open(path, "w") as f:
+        for ep in range(3):
+            f.write(json.dumps({"epoch": ep, "train_loss": 1.0 - ep * 0.2,
+                                "lr": 1e-3, "dice": 0.5 + ep * 0.1,
+                                "global_acc": 0.9, "miou": 0.6,
+                                "mprecision": 0.7, "mrecall": 0.65}) + "\n")
+        f.write(json.dumps({"event": "test_phase", "dice": 0.9}) + "\n")
+    s = parse_jsonl(path)
+    assert s["epoch"] == [0, 1, 2]
+    assert s["dice"] == [0.5, 0.6, 0.7]
+    assert s["mprecision"] == [0.7] * 3
+
+
+def test_parse_run_rejects_empty(tmp_path):
+    path = str(tmp_path / "empty_results.txt")
+    open(path, "w").write("no epochs here\n")
+    with pytest.raises(ValueError, match="no per-epoch records"):
+        parse_run(path)
+
+
+def test_plot_cli_single_run(tmp_path):
+    pytest.importorskip("matplotlib")
+    path = str(tmp_path / "run_results_.txt")
+    open(path, "w").write(REF_STYLE_BLOCKS)
+    written = main([path])
+    assert written == [str(tmp_path / "run_results__curves.png")]
+    assert os.path.getsize(written[0]) > 1000
+
+
+def test_plot_cli_compare(tmp_path):
+    pytest.importorskip("matplotlib")
+    a = str(tmp_path / "a_results.txt")
+    b = str(tmp_path / "b_metrics.jsonl")
+    open(a, "w").write(REF_STYLE_BLOCKS)
+    with open(b, "w") as f:
+        for ep in range(2):
+            f.write(json.dumps({"epoch": ep, "train_loss": 0.8 - ep * 0.1,
+                                "dice": 0.6 + ep * 0.1}) + "\n")
+    out = str(tmp_path / "cmp.png")
+    written = main([a, b, "--output", out])
+    assert written == [out] and os.path.getsize(out) > 1000
