@@ -1,0 +1,112 @@
+"""stf-doctor: dataset diagnostics must explain every skip the index
+performs, flag damaged files, and keep `usable` == len(DatasetIndex)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from stf_unet_tpu.cli.doctor import check_split, main
+from stf_unet_tpu.data.index import DatasetIndex
+from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+SEQ = tuple(f"VIBRANT+C{i}" for i in range(1, 9))
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    root = str(tmp_path / "breadm")
+    make_synthetic_breadm(root, size=40, time_steps=8,
+                          patients_per_split=3, slices_per_patient=2)
+    return root
+
+
+def _damage(tree):
+    """Apply one instance of every damage class; returns expectations."""
+    train = os.path.join(tree, "seg", "training")
+    # P000: remove one sequence dir -> patient skipped
+    shutil.rmtree(os.path.join(train, "images", "P000", "VIBRANT+C3"))
+    # P001: remove slice 0 from one sequence -> slice skipped
+    os.remove(os.path.join(train, "images", "P001", "VIBRANT+C5",
+                           "slice_000.png"))
+    # P001: remove the mask of slice 1 -> slice skipped (orphanless)
+    os.remove(os.path.join(train, "labels", "P001", "VIBRANT+C1",
+                           "slice_001.png"))
+    # P002: truncate one frame to 0 bytes -> damaged-file error
+    open(os.path.join(train, "images", "P002", "VIBRANT+C2",
+                      "slice_000.png"), "wb").close()
+    # P002: corrupt another frame's header -> bad-magic error
+    with open(os.path.join(train, "images", "P002", "VIBRANT+C4",
+                           "slice_001.png"), "wb") as f:
+        f.write(b"JUNKJUNKJUNK")
+
+
+def test_clean_tree_is_clean(tree):
+    r = check_split(tree, "train", SEQ)
+    assert r["errors"] == [] and r["warnings"] == []
+    assert r["usable"] == 6
+
+
+def test_damage_classes_reported_and_usable_matches_index(tree, capsys):
+    _damage(tree)
+    r = check_split(tree, "train", SEQ)
+    text = "\n".join(r["warnings"] + r["errors"])
+    assert "missing sequence dirs ['VIBRANT+C3']" in text
+    assert "missing from sequences ['VIBRANT+C5']" in text
+    assert "no mask" in text
+    assert "empty file (0 bytes)" in text
+    assert "not a PNG" in text
+    # the scanner serves: P000 none, P001 none (one slice lost each way),
+    # P002 both (damage is not an existence failure)
+    index = DatasetIndex(tree, "train", SEQ)
+    assert r["usable"] == len(index) == 2
+
+
+def test_decode_mode_catches_sizes_and_mask_values(tree):
+    train = os.path.join(tree, "seg", "training")
+    # one frame resized -> cross-sequence size mismatch
+    p = os.path.join(train, "images", "P000", "VIBRANT+C2", "slice_000.png")
+    Image.open(p).resize((24, 24)).save(p)
+    # one mask with a non-binary value
+    mp = os.path.join(train, "labels", "P001", "VIBRANT+C1", "slice_000.png")
+    arr = np.asarray(Image.open(mp).convert("L")).copy()
+    arr[0, 0] = 7
+    Image.fromarray(arr).save(mp)
+
+    r = check_split(tree, "train", SEQ, decode=True)
+    text = "\n".join(r["warnings"])
+    assert "frame sizes differ" in text
+    assert "besides 0/255" in text
+    # index-mask mode instead bounds values by num_classes+1
+    r2 = check_split(tree, "train", SEQ, decode=True, mask_format="index",
+                     num_classes=2)
+    assert any(">= num_classes+1" in w for w in r2["warnings"])
+
+
+def test_cli_exit_codes_and_json(tree, capsys):
+    assert main(["--data-path", tree]) == 0
+    out = capsys.readouterr().out
+    assert "usable samples: 6" in out and "summary:" in out
+
+    _damage(tree)
+    assert main(["--data-path", tree, "--json"]) == 1
+    reports = json.loads(capsys.readouterr().out)
+    assert [r["mode"] for r in reports] == ["train", "val", "test"]
+    assert reports[0]["errors"] and not reports[1]["errors"]
+
+
+def test_missing_split_reports_not_crashes(tree):
+    shutil.rmtree(os.path.join(tree, "seg", "val"))
+    assert main(["--data-path", tree, "--splits", "val"]) == 1
+
+
+def test_empty_split_is_an_error(tree):
+    # strip every mask -> zero usable samples
+    train = os.path.join(tree, "seg", "training")
+    for p in ("P000", "P001", "P002"):
+        shutil.rmtree(os.path.join(train, "labels", p))
+    r = check_split(tree, "train", SEQ)
+    assert any("NO usable samples" in e for e in r["errors"])
