@@ -53,6 +53,9 @@ def _decode_shape(path: str):
     from PIL import Image
     try:
         with Image.open(path) as im:
+            # Image.open only parses the header; load() forces the full
+            # pixel decode, which is what catches truncated files.
+            im.load()
             return im.size  # (w, h)
     except Exception as e:
         return f"decode failed ({e.__class__.__name__})"
@@ -68,6 +71,11 @@ def check_split(root: str, mode: str, sequence_types: Sequence[str], *,
     report: Dict = {"mode": mode, "usable": 0, "errors": [], "warnings": []}
     err, warn = report["errors"].append, report["warnings"].append
 
+    if mode not in MODE_DIRS:
+        err(f"unknown split {mode!r}: valid splits are "
+            f"{sorted(MODE_DIRS)} (the on-disk dirs are "
+            f"{sorted(set(MODE_DIRS.values()))})")
+        return report
     data_root = os.path.join(root, "seg", MODE_DIRS[mode])
     img_dir = os.path.join(data_root, "images")
     mask_dir = os.path.join(data_root, "labels")
@@ -133,6 +141,10 @@ def check_split(root: str, mode: str, sequence_types: Sequence[str], *,
             if missing_in:
                 warn(f"{patient}/{img_file}: missing from sequences "
                      f"{missing_in} -> slice skipped")
+                # the slice HAS an image in the first sequence, so its mask
+                # (if any) is not an orphan — don't report it as one below
+                for ext in (".png", ".jpg"):
+                    mask_files.discard(base + ext)
                 continue
             mask_path = None
             for ext in (".png", ".jpg"):
@@ -172,7 +184,11 @@ def check_split(root: str, mode: str, sequence_types: Sequence[str], *,
                 mask_issue = _check_mask_values(mask_path, mask_format,
                                                 num_classes)
                 if mask_issue:
-                    warn(f"{patient}/mask {base}: {mask_issue}")
+                    is_damage, msg = mask_issue
+                    # an undecodable mask is damage (exit 1), same as an
+                    # undecodable frame; out-of-range values are advisory
+                    (err if is_damage else warn)(f"{patient}/mask {base}: "
+                                                 f"{msg}")
             # Damaged files still count: the scanner only checks existence
             # (decode failures surface later via loader failure isolation),
             # so `usable` stays == len(DatasetIndex) by construction.
@@ -187,27 +203,29 @@ def check_split(root: str, mode: str, sequence_types: Sequence[str], *,
 
 
 def _check_mask_values(mask_path: str, mask_format: str,
-                       num_classes: int) -> Optional[str]:
+                       num_classes: int):
+    """Returns None, or (is_damage, message). is_damage=True means the mask
+    cannot be decoded at all (an error); False = advisory value-range note."""
     import numpy as np
     from PIL import Image
     try:
         with Image.open(mask_path) as im:
             vals = np.unique(np.asarray(im.convert("L")))
     except Exception as e:
-        return f"mask decode failed ({e.__class__.__name__})"
+        return True, f"mask decode failed ({e.__class__.__name__})"
     if mask_format == "binary":
         odd = [int(v) for v in vals if v not in (0, 255)]
         if odd:
-            return (f"binary mask has values {odd[:8]} besides 0/255 — "
-                    "the //255 label decode (ref:my_dataset.py:166-168) "
-                    "maps them ALL to 0; use --mask-format index for "
-                    "multiclass labels")
+            return False, (f"binary mask has values {odd[:8]} besides 0/255 "
+                           "— the //255 label decode "
+                           "(ref:my_dataset.py:166-168) maps them ALL to 0; "
+                           "use --mask-format index for multiclass labels")
     else:
         n = num_classes + 1
         odd = [int(v) for v in vals if v >= n and v != 255]
         if odd:
-            return (f"index mask has values {odd[:8]} >= num_classes+1={n} "
-                    "(255 = ignore)")
+            return False, (f"index mask has values {odd[:8]} >= "
+                           f"num_classes+1={n} (255 = ignore)")
     return None
 
 

@@ -102,12 +102,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     out_root = args.output or os.path.join(args.data_path, "pack")
 
     def split_eval_size(mode: str) -> Optional[int]:
-        if args.eval_size == 0:
+        # The eval store only ever serves val/test (eval_batches_from_index
+        # is the sole reader) — never materialize one for train, even under
+        # an explicit --eval-size: it would cost pack time and disk for
+        # bytes no code path reads.
+        if args.eval_size == 0 or mode not in ("val", "test"):
             return None
         if args.eval_size > 0:
             return args.eval_size
-        # default: eval store for the splits the eval path reads
-        return DataConfig().crop_size if mode in ("val", "test") else None
+        return DataConfig().crop_size
 
     packed = [m for m in (
         pack_split(data_cfg, mode.strip(), out_root,

@@ -199,7 +199,24 @@ def _run_label(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def main(argv: Optional[Sequence[str]] = None) -> List[str]:
+def _run_labels(paths: Sequence[str]) -> List[str]:
+    """One label per input; basename collisions are disambiguated with the
+    parent directory (two `expA/results.txt` vs `expB/results.txt` runs must
+    not silently collapse into one dict entry)."""
+    base = [_run_label(p) for p in paths]
+    dupes = {lab for lab in base if base.count(lab) > 1}
+    labels = []
+    for p, lab in zip(paths, base):
+        if lab in dupes:
+            parent = os.path.basename(os.path.dirname(os.path.abspath(p)))
+            lab = f"{parent}/{lab}"
+        labels.append(lab)
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate run inputs: {sorted(paths)}")
+    return labels
+
+
+def run(argv: Optional[Sequence[str]] = None) -> List[str]:
     p = argparse.ArgumentParser(
         description="Plot training curves from results .txt / metrics "
                     ".jsonl files (this framework's or the reference's)")
@@ -219,7 +236,8 @@ def main(argv: Optional[Sequence[str]] = None) -> List[str]:
                    title=args.title or _run_label(path))
         written.append(out)
     else:
-        runs = {_run_label(f): parse_run(f) for f in args.files}
+        labels = _run_labels(args.files)
+        runs = {lab: parse_run(f) for lab, f in zip(labels, args.files)}
         out = args.output or "compare_curves.png"
         render_compare(runs, out)
         written.append(out)
@@ -228,5 +246,12 @@ def main(argv: Optional[Sequence[str]] = None) -> List[str]:
     return written
 
 
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """Console-script entry: pip's wrapper does ``sys.exit(main())``, so the
+    return value must be an exit status, not the written-paths list."""
+    run(argv)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -159,22 +159,19 @@ def _write_eval_store(out_dir: str, frames, masks, sizes, pk,
     same function, same inputs."""
     from stf_unet_tpu.core.config import DataConfig
     from stf_unet_tpu.data.transforms import eval_preprocess
+    from stf_unet_tpu.ops.resize import short_edge_size
 
     cfg = DataConfig(crop_size=eval_size)
     n = frames.shape[0]
-    samples = []
+    # The eval canvas is derivable from the original sizes alone (the
+    # resize geometry is pure arithmetic), so samples stream one at a time
+    # into the memmaps — the store is never resident in RAM.
     eh = ew = 0
     for i in range(n):
         h, w = (int(x) for x in sizes[i])
-        imgs, mask_r = eval_preprocess(
-            np.asarray(frames[i, :, :h, :w]), np.asarray(masks[i, :h, :w]),
-            cfg, None if pk is None else np.asarray(pk[i, :, :h, :w]),
-            raw=True)
-        imgs = imgs[..., 0]  # [TC, h', w'] uint8
-        samples.append((imgs, mask_r))
-        eh = max(eh, imgs.shape[1])
-        ew = max(ew, imgs.shape[2])
-    tc = samples[0][0].shape[0]
+        rh, rw = short_edge_size(h, w, eval_size)
+        eh, ew = max(eh, rh), max(ew, rw)
+    tc = frames.shape[1] + (3 if pk is not None else 0)
 
     ef = np.lib.format.open_memmap(
         os.path.join(out_dir, _EVAL_FRAMES), mode="w+", dtype=np.uint8,
@@ -187,8 +184,15 @@ def _write_eval_store(out_dir: str, frames, masks, sizes, pk,
         shape=(n, 2))
     ef[:] = 0
     em[:] = 0
-    for i, (imgs, mask_r) in enumerate(samples):
+    for i in range(n):
+        h, w = (int(x) for x in sizes[i])
+        imgs, mask_r = eval_preprocess(
+            np.asarray(frames[i, :, :h, :w]), np.asarray(masks[i, :h, :w]),
+            cfg, None if pk is None else np.asarray(pk[i, :, :h, :w]),
+            raw=True)
+        imgs = imgs[..., 0]  # [TC, h', w'] uint8
         _, sh, sw = imgs.shape
+        assert sh <= eh and sw <= ew and imgs.shape[0] == tc
         ef[i, :, :sh, :sw] = imgs
         em[i, :sh, :sw] = mask_r
         es[i] = (sh, sw)

@@ -110,3 +110,57 @@ def test_empty_split_is_an_error(tree):
         shutil.rmtree(os.path.join(train, "labels", p))
     r = check_split(tree, "train", SEQ)
     assert any("NO usable samples" in e for e in r["errors"])
+
+
+def test_decode_catches_truncated_file(tree):
+    """PIL's Image.open is lazy (header-only); --decode must force the
+    full pixel decode so a truncated-but-valid-header file is an error."""
+    train = os.path.join(tree, "seg", "training")
+    p = os.path.join(train, "images", "P000", "VIBRANT+C2", "slice_000.png")
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[: max(len(data) // 2, 30)])
+    # header magic intact -> the cheap probe passes
+    r_cheap = check_split(tree, "train", SEQ)
+    assert r_cheap["errors"] == []
+    r = check_split(tree, "train", SEQ, decode=True)
+    assert any("decode failed" in e for e in r["errors"])
+
+
+def test_decode_undecodable_mask_is_an_error(tree):
+    """A truncated mask is damage (exit 1), not an advisory warning."""
+    train = os.path.join(tree, "seg", "training")
+    mp = os.path.join(train, "labels", "P001", "VIBRANT+C1",
+                      "slice_000.png")
+    data = open(mp, "rb").read()
+    with open(mp, "wb") as f:
+        f.write(data[: max(len(data) // 2, 30)])
+    r = check_split(tree, "train", SEQ, decode=True)
+    assert any("mask decode failed" in e for e in r["errors"])
+    assert main(["--data-path", tree, "--splits", "train", "--decode"]) == 1
+
+
+def test_skipped_slice_mask_not_reported_orphan(tree):
+    """A slice skipped for 'missing from sequences' still has a real image
+    in the first sequence — its mask must not be called an orphan."""
+    train = os.path.join(tree, "seg", "training")
+    os.remove(os.path.join(train, "images", "P001", "VIBRANT+C5",
+                           "slice_000.png"))
+    r = check_split(tree, "train", SEQ)
+    assert any("missing from sequences" in w for w in r["warnings"])
+    assert not any("orphan" in w for w in r["warnings"])
+    # a genuinely stray mask IS still reported
+    mask_dir = os.path.join(train, "labels", "P002", "VIBRANT+C1")
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+        os.path.join(mask_dir, "slice_999.png"))
+    r2 = check_split(tree, "train", SEQ)
+    assert any("orphan" in w and "slice_999.png" in w
+               for w in r2["warnings"])
+
+
+def test_unknown_split_is_a_diagnostic_not_a_crash(tree, capsys):
+    """--splits training (the dir name, not the mode key) must explain
+    itself rather than raise KeyError."""
+    assert main(["--data-path", tree, "--splits", "training"]) == 1
+    out = capsys.readouterr().out
+    assert "unknown split 'training'" in out and "train" in out

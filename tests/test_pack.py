@@ -203,3 +203,29 @@ def test_pack_cli_then_train_cli(pack_root, tmp_path):
     assert packed["dice"] == plain["dice"]
     np.testing.assert_array_equal(packed["confusion_matrix"],
                                   plain["confusion_matrix"])
+
+
+def test_pack_cli_eval_size_never_applies_to_train():
+    """An explicit --eval-size must still restrict the eval store to the
+    splits the eval path reads (val/test); train would be dead bytes."""
+    import argparse
+    from stf_unet_tpu.cli import pack as pack_cli
+
+    # exercise the CLI's split_eval_size via a tiny shim of main()'s logic:
+    # parse the real flags, then call the closure indirectly by invoking
+    # main with a stub pack_split that records what it was asked to build.
+    calls = {}
+
+    def fake_pack_split(data_cfg, mode, out_root, *, batch_size,
+                        eval_size=None, **kw):
+        calls[mode] = eval_size
+        return {"n": 1, "t": 8, "canvas": [8, 8]}
+
+    orig = pack_cli.pack_split
+    pack_cli.pack_split = fake_pack_split
+    try:
+        pack_cli.main(["--data-path", "/nonexistent", "--output", "/tmp/x",
+                       "--eval-size", "224"])
+    finally:
+        pack_cli.pack_split = orig
+    assert calls == {"train": None, "val": 224, "test": 224}

@@ -7,7 +7,7 @@ import os
 import pytest
 
 from stf_unet_tpu.cli.plot import (main, parse_jsonl, parse_results_txt,
-                                   parse_run)
+                                   parse_run, run)
 
 REF_STYLE_BLOCKS = """\
 [epoch: 0]
@@ -79,9 +79,12 @@ def test_plot_cli_single_run(tmp_path):
     pytest.importorskip("matplotlib")
     path = str(tmp_path / "run_results_.txt")
     open(path, "w").write(REF_STYLE_BLOCKS)
-    written = main([path])
+    written = run([path])
     assert written == [str(tmp_path / "run_results__curves.png")]
     assert os.path.getsize(written[0]) > 1000
+    # the console-script entry (sys.exit(main())) must return status 0,
+    # not the written list (exit code 1 + list repr on stderr otherwise)
+    assert main([path]) == 0
 
 
 def test_plot_cli_compare(tmp_path):
@@ -94,5 +97,22 @@ def test_plot_cli_compare(tmp_path):
             f.write(json.dumps({"epoch": ep, "train_loss": 0.8 - ep * 0.1,
                                 "dice": 0.6 + ep * 0.1}) + "\n")
     out = str(tmp_path / "cmp.png")
-    written = main([a, b, "--output", out])
+    written = run([a, b, "--output", out])
     assert written == [out] and os.path.getsize(out) > 1000
+
+
+def test_plot_cli_compare_same_basename(tmp_path):
+    """Same-named results files in different dirs must both appear in the
+    comparison (labels disambiguated by parent dir), not silently collapse."""
+    pytest.importorskip("matplotlib")
+    from stf_unet_tpu.cli.plot import _run_labels
+    a_dir, b_dir = tmp_path / "expA", tmp_path / "expB"
+    a_dir.mkdir(), b_dir.mkdir()
+    a, b = str(a_dir / "unet_results.txt"), str(b_dir / "unet_results.txt")
+    open(a, "w").write(REF_STYLE_BLOCKS)
+    open(b, "w").write(REF_STYLE_BLOCKS)
+    assert _run_labels([a, b]) == ["expA/unet_results", "expB/unet_results"]
+    out = str(tmp_path / "cmp.png")
+    assert run([a, b, "--output", out]) == [out]
+    with pytest.raises(ValueError, match="duplicate run inputs"):
+        _run_labels([a, a])
