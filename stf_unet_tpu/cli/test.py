@@ -81,6 +81,16 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--data-pack", type=str, default="",
                    help="dataset pack root (stf-pack): serve pre-decoded "
                         "samples by memmap instead of decoding images")
+    p.add_argument("--per-patient", action="store_true",
+                   help="aggregate metrics per patient (mean/std/median "
+                        "dice ACROSS patients — the clinical reporting "
+                        "unit; the reference pools all test pixels "
+                        "globally). Requires --batch-size 1.")
+    p.add_argument("--surface-metrics", action="store_true",
+                   help="report boundary metrics (95th-percentile "
+                        "Hausdorff distance + average symmetric surface "
+                        "distance, pixel units) per patient; implies "
+                        "--per-patient")
     return p.parse_args(argv)
 
 
@@ -134,6 +144,12 @@ def test(args: argparse.Namespace) -> dict:
         print("tile batches sharded over" if args.tiled
               else "eval batches sharded over", f"{mesh.size} devices")
 
+    per_patient = args.per_patient or args.surface_metrics
+    if per_patient and not args.tiled and args.batch_size != 1:
+        raise SystemExit("--per-patient/--surface-metrics need "
+                         "--batch-size 1 (shape-bucketed batching reorders "
+                         "samples relative to the dataset records)")
+
     if args.tiled:
         return _test_tiled(args, model, state, data_cfg, num_classes,
                            test_index, mesh=mesh, pack=pack)
@@ -160,11 +176,39 @@ def test(args: argparse.Namespace) -> dict:
                          prefix=args.model)
             idx += 1
 
+    if per_patient:
+        metrics["patient_report"] = _per_patient_report(
+            test_index, metrics["outputs"], metrics["batches"], num_classes,
+            surface=args.surface_metrics)
+
     print("Test Set Metrics:")
     print(metrics["confusion_str"])
     print(f"Dice: {metrics['dice']:.4f}")
     print(f"mIoU: {metrics['mean_metrics']['miou']:.4f}")
     return metrics
+
+
+def _per_patient_report(test_index: DatasetIndex, outputs, batches,
+                        num_classes: int, *, surface: bool) -> dict:
+    """Per-patient aggregation over the batch-1 eval stream (record order
+    == batch order at batch 1; asserted). Metrics use argmax predictions,
+    exactly like evaluate()'s confusion/dice (ref:train_and_eval.py:331)."""
+    from stf_unet_tpu.metrics.patient import (PatientAggregator,
+                                              format_patient_report)
+    if len(outputs) != len(test_index.records):
+        raise RuntimeError(
+            f"eval stream yielded {len(outputs)} samples for "
+            f"{len(test_index.records)} records — cannot map to patients")
+    agg = PatientAggregator(num_classes, surface=surface)
+    for rec, logits, (_, target) in zip(test_index.records, outputs,
+                                        batches):
+        agg.update(rec.patient_id, np.asarray(target[0], np.int32),
+                   np.argmax(logits[0], axis=-1))
+    report = agg.report()
+    print("Per-patient metrics"
+          + (" (hd95/assd in pixel units)" if surface else "") + ":")
+    print(format_patient_report(report))
+    return report
 
 
 def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
@@ -190,6 +234,10 @@ def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
     conf = confusion_init(num_classes)
     dice_cum = jnp.zeros((num_classes,), jnp.float32)
     dice_count = jnp.zeros((), jnp.int32)
+    agg = None
+    if args.per_patient or args.surface_metrics:
+        from stf_unet_tpu.metrics.patient import PatientAggregator
+        agg = PatientAggregator(num_classes, surface=args.surface_metrics)
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"Running tiled native-resolution inference on test set "
           f"(tile={predictor.tile}, stride={predictor.stride})...")
@@ -214,6 +262,18 @@ def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
         raw0 = (frames[0].astype(np.float32) / 255.0
                 - data_cfg.mean) / data_cfg.std
         save_overlay(pred, raw0, args.output_dir, idx, prefix=args.model)
+        if agg is not None:
+            agg.update(rec.patient_id, mask.astype(np.int32),
+                       np.asarray(pred))
+
+    patient_report = None
+    if agg is not None:
+        from stf_unet_tpu.metrics.patient import format_patient_report
+        patient_report = agg.report()
+        print("Per-patient metrics (tiled, native resolution"
+              + ("; hd95/assd in pixel units" if args.surface_metrics
+                 else "") + "):")
+        print(format_patient_report(patient_report))
 
     mat = np.asarray(conf)
     report = confusion_report(mat)
@@ -223,6 +283,8 @@ def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
     print(f"Dice: {dice:.4f}")
     print(f"mIoU: {report['mean_metrics']['miou']:.4f}")
     return {
+        **({"patient_report": patient_report}
+           if patient_report is not None else {}),
         "dice": dice,
         "confusion_matrix": mat,
         "confusion_str": format_confusion(mat),

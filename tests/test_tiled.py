@@ -155,13 +155,18 @@ def test_cli_test_tiled_end_to_end(tmp_path, synthetic_root):
     res = test_main(["--model", "unet", "--model-dir", str(tmp_path / "w"),
                      "--root", str(synthetic_root),
                      "--output-dir", str(tmp_path / "tiled_out"),
-                     "--tiled"])
+                     "--tiled", "--per-patient"])
     assert 0.0 <= res["dice"] <= 1.0
     mat = res["confusion_matrix"]
     assert mat.shape == (2, 2)
     # 4 test samples at NATIVE 64x64 (the resize path would count 32x32)
     assert mat.sum() == 4 * 64 * 64
     assert len(glob.glob(str(tmp_path / "tiled_out" / "unet_*.png"))) == 4
+    # --per-patient on the tiled path: per-patient confusions partition the
+    # global one (2 fixture patients x 2 slices at native resolution)
+    rep = res["patient_report"]
+    assert rep["summary"]["num_patients"] == 2
+    assert sum(p["pixels"] for p in rep["patients"].values()) == 4 * 64 * 64
 
 
 def test_mesh_sharded_tiles_match_single_device(tiny_model):
