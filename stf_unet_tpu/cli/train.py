@@ -288,10 +288,19 @@ def main(cfg: TrainConfig) -> dict:
     # counts microbatches, so display in apply units.
     display_schedule = (schedule if k == 1
                         else (lambda s: schedule(s // k)))
+    loss_weight = None
+    if cfg.loss_class_weights:
+        loss_weight = [float(v) for v in cfg.loss_class_weights.split(",")]
+        if len(loss_weight) != num_classes:
+            raise SystemExit(
+                f"--loss-class-weights needs {num_classes} values "
+                f"(total classes incl. background), got {len(loss_weight)}")
+        print(f"class-weighted CE: {loss_weight}")
     train_step = make_train_step(model, optim, display_schedule, num_classes,
                                  augment=augment,
                                  ema_decay=cfg.optim.ema_decay,
-                                 ema_every_k=k)
+                                 ema_every_k=k,
+                                 loss_weight=loss_weight)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()
     # SIGTERM/first-SIGINT (or --stop-after-steps) stop the run at the

@@ -174,6 +174,13 @@ class TrainConfig:
     # (ref:train.py:102); neither reference model emits an 'aux' head, and
     # the criterion already applies the 0.5 weighting when one exists.
     aux: bool = False
+    # Per-class cross-entropy weights, comma-separated ("1.0,4.0"),
+    # length = TOTAL classes (background first). The reference's criterion
+    # accepts a loss_weight tensor but no flag ever wires it
+    # (ref:train_and_eval.py:299-305); class weighting is the standard
+    # lever for lesion/background imbalance. The dice term stays
+    # unweighted, exactly like the reference's criterion. "" = uniform.
+    loss_class_weights: str = ""
     silent: bool = False
     test_only: bool = False
     generate_pk_maps: bool = False

@@ -34,7 +34,8 @@ def make_train_step(model, optim, schedule, num_classes: int,
                     ignore_index: int = -100,
                     augment: Optional[TrainAugment] = None,
                     ema_decay: float = 0.0,
-                    ema_every_k: int = 1) -> Callable:
+                    ema_every_k: int = 1,
+                    loss_weight=None) -> Callable:
     """Build the jitted train step. State is donated (in-place update in HBM).
 
     With `augment` the device-side augmentation fuses INTO the same compiled
@@ -50,7 +51,14 @@ def make_train_step(model, optim, schedule, num_classes: int,
     (zero-updates in between), and advancing the EMA on every micro-step
     would compound the effective per-apply decay to d^k — so the EMA
     advances only on micro-steps where the apply happens.
+
+    loss_weight: optional per-class CE weights, [num_classes] — the
+    criterion's loss_weight argument (the reference accepts it and never
+    wires it, ref:train_and_eval.py:299-305); the dice term stays
+    unweighted, exactly like the reference's criterion.
     """
+    if loss_weight is not None:
+        loss_weight = jnp.asarray(loss_weight, jnp.float32)
 
     def loss_fn(params, batch_stats, images, targets):
         x = preprocess_input(images, model)
@@ -58,7 +66,8 @@ def make_train_step(model, optim, schedule, num_classes: int,
         outputs, mutated = model.apply(variables, x, train=True,
                                        mutable=["batch_stats"])
         loss = criterion(outputs, targets, num_classes=num_classes,
-                         ignore_index=ignore_index)
+                         ignore_index=ignore_index,
+                         loss_weight=loss_weight)
         return loss, mutated["batch_stats"]
 
     def update(state, images, targets):

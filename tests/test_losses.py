@@ -138,3 +138,66 @@ def test_criterion_multiclass_vs_reference_impl():
     theirs = float(ce + ref.dice_loss(tl, dice_target, multiclass=True,
                                       ignore_index=255))
     assert abs(ours - theirs) < 1e-5
+
+
+def test_train_step_threads_class_weights():
+    """make_train_step(loss_weight=...) must reproduce criterion's weighted
+    loss exactly and differ from the unweighted step (the reference's
+    criterion accepts loss_weight but no flag wires it,
+    ref:train_and_eval.py:299-305)."""
+    import jax
+
+    from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+    from stf_unet_tpu.models.registry import create_model, preprocess_input
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = ModelConfig(model="unet", num_classes=1, base_c=4, time_steps=2)
+    model = create_model(cfg)
+    sched = warmup_poly_schedule(1e-3, 10, 10)
+    optim = make_optimizer(OptimConfig(), sched)
+    x = jnp.asarray(RNG.normal(size=(2, 2, 16, 16, 1)).astype(np.float32))
+    y = jnp.asarray(RNG.integers(0, 2, (2, 16, 16)).astype(np.int32))
+    state0 = create_train_state(jax.random.key(0), cfg, optim, x)
+
+    w = [1.0, 7.0]
+    step_w = make_train_step(model, optim, sched, 2, loss_weight=w)
+    _, loss_w, _ = step_w(state0, x, y)
+
+    # manual weighted criterion on the SAME initial params
+    state0 = create_train_state(jax.random.key(0), cfg, optim, x)
+    outputs = model.apply(
+        {"params": state0.params, "batch_stats": state0.batch_stats},
+        preprocess_input(x, model), train=True,
+        mutable=["batch_stats"])[0]
+    manual = float(criterion(outputs, y, num_classes=2,
+                             loss_weight=jnp.asarray(w, jnp.float32)))
+    assert abs(float(loss_w) - manual) < 1e-6
+
+    state0 = create_train_state(jax.random.key(0), cfg, optim, x)
+    step_u = make_train_step(model, optim, sched, 2)
+    _, loss_u, _ = step_u(state0, x, y)
+    assert abs(float(loss_u) - float(loss_w)) > 1e-4
+
+
+def test_train_cli_class_weights(tmp_path):
+    """--loss-class-weights end-to-end + wrong-length validation."""
+    import pytest
+
+    from stf_unet_tpu.cli import train as train_cli
+    from stf_unet_tpu.core import config as config_lib
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+    root = str(tmp_path / "data")
+    make_synthetic_breadm(root, size=40, time_steps=8)
+    base = ["--data-path", root, "--model", "unet", "--epochs", "1",
+            "--batch-size", "2", "--model-base-c", "4",
+            "--data-base-size", "40", "--data-crop-size", "32",
+            "--save-dir", str(tmp_path / "w"),
+            "--output-dir", str(tmp_path / "o"), "--silent", "true"]
+    train_cli.main(config_lib.parse_config(
+        base + ["--loss-class-weights", "1.0,4.0"]))
+    with pytest.raises(SystemExit):
+        train_cli.main(config_lib.parse_config(
+            base + ["--loss-class-weights", "1.0,2.0,3.0"]))
