@@ -127,17 +127,17 @@ def scan_unlabeled(input_path: str, sequence_types: Sequence[str]
                 continue
             yield pid, os.path.splitext(nm)[0], paths
 
+    items: List[Tuple[str, str, Optional[List[str]]]] = []
     # single-patient dir: the sequence dirs sit directly inside
     if all(os.path.isdir(os.path.join(input_path, s))
            for s in sequence_types):
         pid = os.path.basename(os.path.abspath(input_path))
-        return list(patient_items(pid, input_path))
-
-    items: List[Tuple[str, str, Optional[List[str]]]] = []
-    for pid in entries:
-        pdir = os.path.join(input_path, pid)
-        if os.path.isdir(pdir):
-            items.extend(patient_items(pid, pdir))
+        items = list(patient_items(pid, input_path))
+    else:
+        for pid in entries:
+            pdir = os.path.join(input_path, pid)
+            if os.path.isdir(pdir):
+                items.extend(patient_items(pid, pdir))
     if not items:
         raise SystemExit(
             f"no predictable samples under {input_path}: expected "
@@ -145,21 +145,6 @@ def scan_unlabeled(input_path: str, sequence_types: Sequence[str]
             f"{list(sequence_types)}, a single patient dir, or .npz "
             "volumes")
     return items
-
-
-def _load_frames(paths: Sequence[str]) -> np.ndarray:
-    """[T, H, W] uint8 via the native threaded decoder, PIL fallback."""
-    from stf_unet_tpu.data import native_loader
-    from stf_unet_tpu.data.loader import _decode_grayscale
-
-    if native_loader.native_available():
-        size = native_loader.image_size(paths[0])
-        if size is not None:
-            canvas, sizes = native_loader.decode_batch(list(paths), *size,
-                                                       fill=0)
-            if all(tuple(sz) == size for sz in sizes):
-                return canvas
-    return np.stack([_decode_grayscale(p) for p in paths])
 
 
 def _load_npz(path: str) -> np.ndarray:
@@ -173,30 +158,6 @@ def _load_npz(path: str) -> np.ndarray:
         raise SystemExit(f"{path}: 'frames' must be [T, H, W], got "
                          f"{frames.shape}")
     return frames.astype(np.uint8)
-
-
-def _load_pk(pk_root: str, patient: str, shape: Tuple[int, int]
-             ) -> np.ndarray:
-    """[3, H, W] uint8; missing/unreadable maps zero-fill with a warning
-    (the reference's zero-fill semantics, ref:my_dataset.py:206-224)."""
-    from PIL import Image
-
-    from stf_unet_tpu.data.loader import PK_PARAM_NAMES, _decode_grayscale
-
-    h, w = shape
-    maps = []
-    for name in PK_PARAM_NAMES:
-        path = os.path.join(pk_root, patient, f"{name}.png")
-        try:
-            arr = _decode_grayscale(path)
-            if arr.shape != (h, w):
-                arr = np.asarray(
-                    Image.fromarray(arr).resize((w, h), Image.NEAREST))
-        except Exception:
-            print(f"Warning: PK map {path} unreadable — zero-filling")
-            arr = np.zeros((h, w), dtype=np.uint8)
-        maps.append(arr)
-    return np.stack(maps)
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +193,7 @@ def _write_outputs(mask: np.ndarray, raw_frame: np.ndarray, out_dir: str,
 def predict(args: argparse.Namespace) -> dict:
     from stf_unet_tpu.cli.common import restore_for_inference
     from stf_unet_tpu.core.cache import enable_compilation_cache
+    from stf_unet_tpu.data.loader import decode_stack, load_pk_stack
     from stf_unet_tpu.data.transforms import eval_preprocess
     from stf_unet_tpu.serve.engine import InferenceEngine
 
@@ -303,14 +265,15 @@ def predict(args: argparse.Namespace) -> dict:
     for patient, name, paths in items:
         frames = _load_npz(args.input if os.path.isfile(args.input)
                            else os.path.join(args.input, f"{name}.npz")) \
-            if paths is None else _load_frames(paths)
+            if paths is None else decode_stack(paths)
         patients.add(patient)
         pk = None
         if args.use_pk_maps:
             if paths is None:
                 raise SystemExit("--use-pk-maps is not supported for .npz "
                                  "volumes (no patient directory to map)")
-            pk = _load_pk(args.pk_maps, patient, frames.shape[1:])
+            pk = load_pk_stack(os.path.join(args.pk_maps, patient),
+                               *frames.shape[1:], warn=True)
         if tiled is not None:
             img = frames if pk is None else np.concatenate([frames, pk], 0)
             mask = np.asarray(tiled.predict(img[..., None]))

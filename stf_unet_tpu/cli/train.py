@@ -290,7 +290,13 @@ def main(cfg: TrainConfig) -> dict:
                         else (lambda s: schedule(s // k)))
     loss_weight = None
     if cfg.loss_class_weights:
-        loss_weight = [float(v) for v in cfg.loss_class_weights.split(",")]
+        try:
+            loss_weight = [float(v)
+                           for v in cfg.loss_class_weights.split(",")]
+        except ValueError:
+            raise SystemExit(
+                f"--loss-class-weights must be comma-separated floats "
+                f"(e.g. 1.0,4.0), got {cfg.loss_class_weights!r}")
         if len(loss_weight) != num_classes:
             raise SystemExit(
                 f"--loss-class-weights needs {num_classes} values "

@@ -82,6 +82,44 @@ def _decode_grayscale(path: str) -> np.ndarray:
         return np.asarray(img.convert("L"), dtype=np.uint8)
 
 
+def load_pk_stack(pk_dir: str, h: int, w: int,
+                  warn: bool = False) -> np.ndarray:
+    """[3, H, W] uint8 ktrans/ve/vp stack from `pk_dir/{name}.png`.
+    Off-resolution maps NEAREST-resize to (h, w) (PIL parity,
+    ref:my_dataset.py:214); missing/unreadable maps zero-fill
+    (ref:206-224), printing a warning when asked."""
+    maps = []
+    for name in PK_PARAM_NAMES:
+        path = f"{pk_dir}/{name}.png"
+        try:
+            arr = _decode_grayscale(path)
+            if arr.shape != (h, w):
+                arr = np.asarray(
+                    Image.fromarray(arr).resize((w, h), Image.NEAREST))
+        except Exception:
+            if warn:
+                print(f"Warning: PK map {path} unreadable — zero-filling")
+            arr = np.zeros((h, w), dtype=np.uint8)
+        maps.append(arr)
+    return np.stack(maps)
+
+
+def decode_stack(paths: Sequence[str]) -> np.ndarray:
+    """uint8 [N, H, W] stack of same-size grayscale images: one threaded
+    native decode when available, PIL fallback otherwise (the
+    load_sample_raw_native routing, minus the mask)."""
+    from stf_unet_tpu.data import native_loader
+
+    if native_loader.native_available():
+        size = native_loader.image_size(paths[0])
+        if size is not None:
+            canvas, sizes = native_loader.decode_batch(list(paths), *size,
+                                                       fill=0)
+            if all(tuple(sz) == size for sz in sizes):
+                return canvas
+    return np.stack([_decode_grayscale(p) for p in paths])
+
+
 def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False,
                     mask_format: str = "binary"
                     ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
@@ -101,18 +139,7 @@ def load_sample_raw(rec: SampleRecord, use_pk_maps: bool = False,
     pk = None
     if use_pk_maps:
         h, w = frames.shape[1:]
-        maps = []
-        for name in PK_PARAM_NAMES:
-            path = f"{rec.pk_maps_path}/{name}.png"
-            try:
-                arr = _decode_grayscale(path)
-                if arr.shape != (h, w):
-                    arr = np.asarray(
-                        Image.fromarray(arr).resize((w, h), Image.NEAREST))
-            except Exception:
-                arr = np.zeros((h, w), dtype=np.uint8)
-            maps.append(arr)
-        pk = np.stack(maps)
+        pk = load_pk_stack(rec.pk_maps_path, h, w)
     return frames, mask, pk
 
 

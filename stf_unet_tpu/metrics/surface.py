@@ -27,17 +27,21 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import numpy as np
-from scipy import ndimage
 
 __all__ = ["hd95_assd", "surface_metrics"]
 
-# 4-connected structuring element: the boundary is every mask pixel with a
-# background neighbor (or on the image edge, via border_value=0).
-_STRUCT = ndimage.generate_binary_structure(2, 1)
-
 
 def _boundary(mask: np.ndarray) -> np.ndarray:
-    eroded = ndimage.binary_erosion(mask, structure=_STRUCT, border_value=0)
+    # scipy deferred into the call (repo convention, like pk/fit.py) so the
+    # package import — metrics/__init__ pulls this module in — never
+    # hard-requires scipy for runs that don't use surface metrics.
+    from scipy import ndimage
+
+    # 4-connected structuring element: the boundary is every mask pixel
+    # with a background neighbor (or on the image edge, border_value=0).
+    eroded = ndimage.binary_erosion(
+        mask, structure=ndimage.generate_binary_structure(2, 1),
+        border_value=0)
     return mask & ~eroded
 
 
@@ -62,6 +66,8 @@ def hd95_assd(pred: np.ndarray, gt: np.ndarray,
         return 0.0, 0.0
     if p_any != g_any:
         return float("nan"), float("nan")
+    from scipy import ndimage
+
     pb = _boundary(pred)
     gb = _boundary(gt)
     # distance_transform_edt(~gb) holds, at every pixel, the distance to the

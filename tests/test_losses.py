@@ -201,3 +201,6 @@ def test_train_cli_class_weights(tmp_path):
     with pytest.raises(SystemExit):
         train_cli.main(config_lib.parse_config(
             base + ["--loss-class-weights", "1.0,2.0,3.0"]))
+    with pytest.raises(SystemExit):  # malformed values: clean exit, no
+        train_cli.main(config_lib.parse_config(  # raw ValueError traceback
+            base + ["--loss-class-weights", "1.0,fourpointzero"]))

@@ -78,6 +78,15 @@ class TestScan:
         with pytest.raises(SystemExit):
             scan_unlabeled(str(tmp_path), SEQS)
 
+    def test_empty_single_patient_dir_raises(self, tmp_path):
+        # sequence dirs all exist but hold no slice files: the
+        # single-patient branch must abort like the tree branch does,
+        # not exit 0 having written nothing
+        for s in SEQS:
+            os.makedirs(tmp_path / s)
+        with pytest.raises(SystemExit):
+            scan_unlabeled(str(tmp_path), SEQS)
+
 
 def test_predict_cli_end_to_end(trained):
     from stf_unet_tpu.cli import predict as predict_cli
