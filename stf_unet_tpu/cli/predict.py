@@ -78,6 +78,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "resolution already)")
     p.add_argument("--no-overlay", action="store_true",
                    help="write only the mask PNGs")
+    p.add_argument("--save-probs", action="store_true",
+                   help="also write per-class softmax probabilities as "
+                        "<slice>_probs.npz ('probs' float16 [h, w, C] at "
+                        "the eval geometry) — for downstream custom "
+                        "thresholds / uncertainty analysis. Not available "
+                        "with --tiled or --data-parallel.")
     return p.parse_args(argv)
 
 
@@ -201,6 +207,9 @@ def predict(args: argparse.Namespace) -> dict:
         raise SystemExit(
             "--use-pk-maps needs --pk-maps <dir> holding "
             "<patient>/{ktrans,ve,vp}.png (generate with stf-pk-maps)")
+    if args.save_probs and (args.tiled or args.data_parallel != 1):
+        raise SystemExit("--save-probs supports the plain eval-geometry "
+                         "path only (not --tiled / --data-parallel)")
     enable_compilation_cache()
     model, state, data_cfg, model_cfg, ckpt, kind, num_classes = (
         restore_for_inference(
@@ -242,15 +251,42 @@ def predict(args: argparse.Namespace) -> dict:
 
     # same-geometry slices batch together on the eval-resize path
     pending: Dict[Tuple[int, ...], List] = {}
+    prob_fns: Dict[Tuple[int, ...], object] = {}
     written = 0
     patients = set()
+
+    def _prob_fn(shape):
+        fn = prob_fns.get(shape)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from stf_unet_tpu.data.transforms import normalize
+            from stf_unet_tpu.models.registry import preprocess_input
+
+            @jax.jit
+            def fwd(vs, x_u8):
+                x = normalize(x_u8, data_cfg.mean, data_cfg.std)
+                logits = model.apply(vs, preprocess_input(x, model),
+                                     train=False)["out"]
+                # masks argmax from LOGITS (exact engine parity); probs
+                # float16 for compact artifacts
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        jax.nn.softmax(logits, axis=-1)
+                        .astype(jnp.float16))
+            fn = prob_fns[shape] = fwd
+        return fn
 
     def flush(shape):
         nonlocal written
         batch = pending.pop(shape)
         images = np.stack([b[0] for b in batch])
-        masks = engine.predict(images)
-        for (image, (h, w), meta), mask in zip(batch, masks):
+        if args.save_probs:
+            masks, probs = _prob_fn(tuple(images.shape))(variables, images)
+            masks, probs = np.asarray(masks), np.asarray(probs)
+        else:
+            masks, probs = engine.predict(images), None
+        for i, ((image, (h, w), meta), mask) in enumerate(zip(batch, masks)):
             patient, name, frames = meta
             mask = mask[:h, :w]  # drop the stride padding
             if args.full_size and mask.shape != frames.shape[1:]:
@@ -260,6 +296,11 @@ def predict(args: argparse.Namespace) -> dict:
                 raw0 = image[0, :h, :w, 0]
             _write_outputs(mask, raw0, args.output_dir, patient, name,
                            num_classes, not args.no_overlay)
+            if probs is not None:
+                np.savez_compressed(
+                    os.path.join(args.output_dir, patient,
+                                 f"{name}_probs.npz"),
+                    probs=probs[i, :h, :w])
             written += 1
 
     for patient, name, paths in items:

@@ -177,6 +177,39 @@ def test_predict_npz_and_full_size(trained, tmp_path):
                           "--output-dir", out2])
 
 
+def test_predict_save_probs(trained, tmp_path):
+    """--save-probs: per-class softmax npz whose argmax equals the mask
+    and whose classes sum to 1."""
+    from stf_unet_tpu.cli import predict as predict_cli
+
+    base, _, unlabeled = trained
+    out = str(tmp_path / "probs")
+    predict_cli.main(["--input", os.path.join(unlabeled, "P000"),
+                      "--model", "unet", "--model-dir", str(base / "w"),
+                      "--output-dir", out, "--save-probs", "--no-overlay"])
+    from PIL import Image
+    pdir = os.path.join(out, "P000")
+    names = sorted(f[:-9] for f in os.listdir(pdir)
+                   if f.endswith("_mask.png"))
+    assert len(names) == 2
+    for nm in names:
+        mask = np.asarray(Image.open(
+            os.path.join(pdir, f"{nm}_mask.png"))) // 255
+        with np.load(os.path.join(pdir, f"{nm}_probs.npz")) as npz:
+            probs = npz["probs"]
+        assert probs.dtype == np.float16
+        assert probs.shape == mask.shape + (2,)
+        np.testing.assert_array_equal(np.argmax(probs, -1), mask)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
+
+    # incompatible-mode guard
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        predict_cli.main(["--input", unlabeled, "--model", "unet",
+                          "--model-dir", str(base / "w"),
+                          "--output-dir", out, "--save-probs", "--tiled"])
+
+
 def test_predict_pk_requires_dir(trained):
     from stf_unet_tpu.cli import predict as predict_cli
 
