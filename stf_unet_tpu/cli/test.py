@@ -91,6 +91,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "Hausdorff distance + average symmetric surface "
                         "distance, pixel units) per patient; implies "
                         "--per-patient")
+    p.add_argument("--threshold-sweep", action="store_true",
+                   help="binary only: dice/IoU/precision/recall at "
+                        "foreground-probability thresholds 0.05..0.95 "
+                        "plus ROC/PR AUC — the reference hardcodes 0.5 "
+                        "(ref:test.py:168-172) and never evaluates the "
+                        "operating point")
     return p.parse_args(argv)
 
 
@@ -149,6 +155,11 @@ def test(args: argparse.Namespace) -> dict:
         raise SystemExit("--per-patient/--surface-metrics need "
                          "--batch-size 1 (shape-bucketed batching reorders "
                          "samples relative to the dataset records)")
+    if args.threshold_sweep and (num_classes != 2 or args.tiled):
+        raise SystemExit("--threshold-sweep needs the binary (2-class) "
+                         "non-tiled path: it sweeps the foreground "
+                         "probability, and the tiled predictor emits "
+                         "argmax masks only")
 
     if args.tiled:
         return _test_tiled(args, model, state, data_cfg, num_classes,
@@ -180,6 +191,20 @@ def test(args: argparse.Namespace) -> dict:
         metrics["patient_report"] = _per_patient_report(
             test_index, metrics["outputs"], metrics["batches"], num_classes,
             surface=args.surface_metrics)
+
+    if args.threshold_sweep:
+        from stf_unet_tpu.metrics.binary import (ThresholdSweep,
+                                                 format_threshold_sweep)
+        sweep = ThresholdSweep()
+        for logits, (_, target) in zip(metrics["outputs"],
+                                       metrics["batches"]):
+            z = np.asarray(logits, np.float64)
+            # stable 2-class softmax foreground probability
+            prob_fg = 1.0 / (1.0 + np.exp(z[..., 0] - z[..., 1]))
+            sweep.update(prob_fg, np.asarray(target))
+        metrics["threshold_sweep"] = sweep.report()
+        print("Foreground-probability threshold sweep:")
+        print(format_threshold_sweep(metrics["threshold_sweep"]))
 
     print("Test Set Metrics:")
     print(metrics["confusion_str"])

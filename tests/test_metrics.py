@@ -1,6 +1,7 @@
 """Metric semantics (ref:train_utils/train_and_eval.py:25-142,338-374)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -100,3 +101,59 @@ def test_iou_score_binary():
     iou, dice = iou_score(out, tgt)
     assert abs(iou - (1 + 1e-5) / (2 + 1e-5)) < 1e-6
     assert abs(dice - (2 + 1e-5) / (3 + 1e-5)) < 1e-6
+
+
+class TestThresholdSweep:
+    """metrics/binary.ThresholdSweep — beyond the reference (hardcoded 0.5
+    threshold, ref:test.py:168-172)."""
+
+    def test_known_confusion_at_half(self):
+        from stf_unet_tpu.metrics.binary import ThresholdSweep
+        sw = ThresholdSweep()
+        # at t=0.5: tp=3, fn=1, fp=1 -> dice 0.75, iou 0.6, P=R=0.75
+        sw.update(np.array([0.9, 0.9, 0.9, 0.2]), np.ones(4, np.int32))
+        sw.update(np.array([0.8, 0.1, 0.1, 0.1]), np.zeros(4, np.int32))
+        rep = sw.report()
+        r = next(r for r in rep["rows"] if r["threshold"] == 0.5)
+        assert r["dice"] == pytest.approx(0.75)
+        assert r["iou"] == pytest.approx(0.6)
+        assert r["precision"] == pytest.approx(0.75)
+        assert r["recall"] == pytest.approx(0.75)
+        assert rep["positives"] == 4 and rep["negatives"] == 4
+
+    def test_perfect_separation(self):
+        from stf_unet_tpu.metrics.binary import ThresholdSweep
+        sw = ThresholdSweep()
+        sw.update(np.full(100, 0.95), np.ones(100, np.int32))
+        sw.update(np.full(300, 0.05), np.zeros(300, np.int32))
+        rep = sw.report()
+        assert rep["best"]["dice"] == pytest.approx(1.0)
+        assert rep["roc_auc"] == pytest.approx(1.0, abs=1e-6)
+        assert rep["pr_auc"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_uninformative_scores_auc_half(self):
+        from stf_unet_tpu.metrics.binary import ThresholdSweep
+        rng = np.random.default_rng(0)
+        sw = ThresholdSweep()
+        sw.update(rng.uniform(size=200_000), np.ones(200_000, np.int32))
+        sw.update(rng.uniform(size=200_000), np.zeros(200_000, np.int32))
+        rep = sw.report()
+        assert rep["roc_auc"] == pytest.approx(0.5, abs=0.01)
+
+    def test_ignore_pixels_dropped(self):
+        from stf_unet_tpu.metrics.binary import ThresholdSweep
+        sw = ThresholdSweep()
+        t = np.array([1, 1, 255, 255], np.int32)
+        sw.update(np.array([0.9, 0.9, 0.1, 0.2]), t)
+        rep = sw.report()
+        assert rep["positives"] == 2 and rep["negatives"] == 0
+        assert rep["best"]["dice"] == pytest.approx(1.0)
+
+    def test_format_is_stable(self):
+        from stf_unet_tpu.metrics.binary import (ThresholdSweep,
+                                                 format_threshold_sweep)
+        sw = ThresholdSweep()
+        sw.update(np.array([0.9, 0.1]), np.array([1, 0], np.int32))
+        txt = format_threshold_sweep(sw.report())
+        assert "ROC AUC" in txt and "<-- best" in txt
+        assert len(txt.splitlines()) == 21  # header + 19 rows + AUC line

@@ -187,6 +187,7 @@ def test_cli_per_patient_end_to_end(tmp_path):
     train_cli.main(cfg)
     m = test_cli.main(["--model", "unet", "--model-dir", str(tmp_path / "w"),
                        "--root", root, "--per-patient", "--surface-metrics",
+                       "--threshold-sweep",
                        "--output-dir", str(tmp_path / "t")])
     rep = m["patient_report"]
     assert rep["summary"]["num_patients"] == 2  # fixture patients_per_split
@@ -194,6 +195,12 @@ def test_cli_per_patient_end_to_end(tmp_path):
         assert p["slices"] == 2
         assert 0.0 <= p["dice"] <= 1.0
     assert np.isfinite(rep["summary"]["dice"]["mean"])
+
+    sweep = m["threshold_sweep"]
+    assert len(sweep["rows"]) == 19
+    assert 0.0 <= sweep["roc_auc"] <= 1.0
+    # every test pixel lands in exactly one histogram (4 slices @ 32x32)
+    assert sweep["positives"] + sweep["negatives"] == 4 * 32 * 32
 
     # batch_size != 1 is rejected (bucketing reorders samples)
     with pytest.raises(SystemExit):
