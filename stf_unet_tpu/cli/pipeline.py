@@ -33,7 +33,7 @@ from stf_unet_tpu.pk.tofts import ToftsQuadrature
 from stf_unet_tpu.train.checkpoint import CheckpointManager
 from stf_unet_tpu.train.schedule import warmup_poly_schedule
 from stf_unet_tpu.train.state import create_train_state, make_optimizer
-from stf_unet_tpu.viz.overlay import merge_images
+from stf_unet_tpu.viz.overlay import render_pk_overlay  # noqa: F401 (used in loop)
 
 
 def run_pipeline(args: argparse.Namespace) -> dict:
@@ -123,17 +123,9 @@ def run_pipeline(args: argparse.Namespace) -> dict:
 
         # Combined render: Ktrans heat (red) + predicted tumor contour (green)
         base = frames[0]
-        kmax = ktrans.max()
-        heat = (np.clip(ktrans / kmax, 0, 1) * 255).astype(np.uint8) \
-            if kmax > 0 else np.zeros_like(base)
-        over = merge_images(base, heat, (255, 0, 0), alpha=0.35)
         pred_full = np.asarray(Image.fromarray(pred * 255).resize(
             (base.shape[1], base.shape[0]), Image.NEAREST))
-        try:
-            over = merge_images(over, pred_full, (0, 255, 0),
-                                border_only=True, border_thickness=2)
-        except RuntimeError:
-            over = merge_images(over, pred_full, (0, 255, 0), alpha=0.4)
+        over = render_pk_overlay(base, ktrans, pred_full)
         Image.fromarray(over).save(
             os.path.join(args.output_dir,
                          f"{rec.patient_id}_{i:03d}_pipeline.png"))

@@ -84,6 +84,18 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "the eval geometry) — for downstream custom "
                         "thresholds / uncertainty analysis. Not available "
                         "with --tiled or --data-parallel.")
+    p.add_argument("--pk-fit", action="store_true",
+                   help="also fit the extended Tofts model per voxel on "
+                        "each slice's temporal stack (the cli/pipeline "
+                        "analysis, labels-free): writes <slice>_pk.png "
+                        "(Ktrans heat + predicted contour) and "
+                        "<slice>_pk.npz (ktrans/ve/vp float32 [H, W])")
+    p.add_argument("--pk-solver", type=str, default="lm",
+                   choices=["lm", "adam"])
+    p.add_argument("--pk-enhanced", action="store_true",
+                   help="Otsu/bilateral enhanced PK preprocessing + map "
+                        "postprocessing (the reference's "
+                        "test_pk_fitting.py fork)")
     return p.parse_args(argv)
 
 
@@ -246,6 +258,33 @@ def predict(args: argparse.Namespace) -> dict:
                                  data_cfg.std, max_batch=args.max_batch,
                                  mesh=mesh)
 
+    pk_fit = None
+    if args.pk_fit:
+        from PIL import Image
+
+        from stf_unet_tpu.core.config import PKConfig
+        from stf_unet_tpu.viz.overlay import render_pk_overlay
+
+        def pk_fit(frames, pred, pdir, name):
+            """Tofts fit on the native temporal stack + combined render
+            (the cli/pipeline analysis, reused labels-free)."""
+            cfg = PKConfig(solver=args.pk_solver,
+                           time_points=tuple(
+                               float(i) for i in range(frames.shape[0])))
+            if args.pk_enhanced:
+                from stf_unet_tpu.pk.enhanced import fit_volume_enhanced
+                maps3 = fit_volume_enhanced(frames, cfg)
+            else:
+                from stf_unet_tpu.pk.maps import fit_volume
+                maps3 = fit_volume(frames, cfg)
+            pred_native = (pred if pred.shape == frames.shape[1:]
+                           else _upsample_nearest(pred, *frames.shape[1:]))
+            Image.fromarray(render_pk_overlay(
+                frames[0], maps3[0], pred_native)).save(
+                os.path.join(pdir, f"{name}_pk.png"))
+            np.savez_compressed(os.path.join(pdir, f"{name}_pk.npz"),
+                                ktrans=maps3[0], ve=maps3[1], vp=maps3[2])
+
     items = scan_unlabeled(args.input, data_cfg.resolved_sequence_types)
     print(f"Found {len(items)} slices to segment")
 
@@ -301,6 +340,9 @@ def predict(args: argparse.Namespace) -> dict:
                     os.path.join(args.output_dir, patient,
                                  f"{name}_probs.npz"),
                     probs=probs[i, :h, :w])
+            if pk_fit is not None:
+                pk_fit(frames, mask,
+                       os.path.join(args.output_dir, patient), name)
             written += 1
 
     for patient, name, paths in items:
@@ -320,6 +362,9 @@ def predict(args: argparse.Namespace) -> dict:
             mask = np.asarray(tiled.predict(img[..., None]))
             _write_outputs(mask, frames[0], args.output_dir, patient, name,
                            num_classes, not args.no_overlay)
+            if pk_fit is not None:
+                pk_fit(frames, mask,
+                       os.path.join(args.output_dir, patient), name)
             written += 1
             continue
         dummy = np.zeros(frames.shape[1:], np.uint8)

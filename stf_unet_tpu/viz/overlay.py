@@ -75,3 +75,21 @@ def save_overlay(pred_mask: np.ndarray, raw_input: np.ndarray, save_dir: str,
     from PIL import Image
     Image.fromarray(merged).save(path)
     return path
+
+
+def render_pk_overlay(base: np.ndarray, ktrans: np.ndarray,
+                      pred_mask: np.ndarray) -> np.ndarray:
+    """Combined analysis render: Ktrans heat (red, alpha) + predicted
+    tumor contour (green border; alpha fallback when cv2 contours are
+    unavailable) on the grayscale base frame. Shared by cli/pipeline and
+    cli/predict --pk-fit. All inputs [H, W]; pred_mask in {0, 1}."""
+    kmax = float(np.max(ktrans))
+    heat = ((np.clip(ktrans / kmax, 0, 1) * 255).astype(np.uint8)
+            if kmax > 0 else np.zeros_like(base, np.uint8))
+    over = merge_images(base, heat, (255, 0, 0), alpha=0.35)
+    pred255 = (np.asarray(pred_mask) > 0).astype(np.uint8) * 255
+    try:
+        return merge_images(over, pred255, (0, 255, 0),
+                            border_only=True, border_thickness=2)
+    except RuntimeError:
+        return merge_images(over, pred255, (0, 255, 0), alpha=0.4)

@@ -210,6 +210,30 @@ def test_predict_save_probs(trained, tmp_path):
                           "--output-dir", out, "--save-probs", "--tiled"])
 
 
+def test_predict_pk_fit(trained, tmp_path):
+    """--pk-fit: labels-free Tofts analysis — per-slice combined render +
+    raw parameter maps at native resolution."""
+    from stf_unet_tpu.cli import predict as predict_cli
+
+    base, _, unlabeled = trained
+    out = str(tmp_path / "pk")
+    res = predict_cli.main(["--input", os.path.join(unlabeled, "P001"),
+                            "--model", "unet",
+                            "--model-dir", str(base / "w"),
+                            "--output-dir", out, "--pk-fit",
+                            "--pk-solver", "lm", "--no-overlay"])
+    assert res["slices"] == 2
+    pdir = os.path.join(out, "P001")
+    pngs = [f for f in os.listdir(pdir) if f.endswith("_pk.png")]
+    assert len(pngs) == 2
+    with np.load(os.path.join(pdir, "slice_000_pk.npz")) as npz:
+        for key in ("ktrans", "ve", "vp"):
+            m = npz[key]
+            assert m.shape == (40, 40)  # NATIVE geometry, not eval-resized
+            assert np.all(np.isfinite(m))
+        assert npz["ktrans"].max() > 0  # something fit inside the tissue
+
+
 def test_predict_pk_requires_dir(trained):
     from stf_unet_tpu.cli import predict as predict_cli
 
