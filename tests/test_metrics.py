@@ -157,3 +157,23 @@ class TestThresholdSweep:
         txt = format_threshold_sweep(sw.report())
         assert "ROC AUC" in txt and "<-- best" in txt
         assert len(txt.splitlines()) == 21  # header + 19 rows + AUC line
+
+    def test_auc_matches_sklearn_oracle(self):
+        """ROC/PR AUC vs sklearn on overlapping continuous score
+        distributions (binning error bounded by the 1024-bin resolution)."""
+        sklearn = pytest.importorskip("sklearn.metrics")
+        from stf_unet_tpu.metrics.binary import ThresholdSweep
+        rng = np.random.default_rng(7)
+        pos = np.clip(rng.normal(0.62, 0.15, 30_000), 0, 0.999)
+        neg = np.clip(rng.normal(0.40, 0.15, 60_000), 0, 0.999)
+        sw = ThresholdSweep()
+        sw.update(pos, np.ones_like(pos, dtype=np.int32))
+        sw.update(neg, np.zeros_like(neg, dtype=np.int32))
+        rep = sw.report()
+        y = np.concatenate([np.ones_like(pos), np.zeros_like(neg)])
+        s = np.concatenate([pos, neg])
+        assert rep["roc_auc"] == pytest.approx(
+            sklearn.roc_auc_score(y, s), abs=2e-3)
+        prec, rec, _ = sklearn.precision_recall_curve(y, s)
+        assert rep["pr_auc"] == pytest.approx(
+            sklearn.auc(rec, prec), abs=5e-3)
