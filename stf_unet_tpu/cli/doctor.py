@@ -13,6 +13,8 @@ This CLI walks the tree and reports every issue it can find, per split:
   * per-slice frame size mismatches across sequences (--decode)
   * mask pixel values outside the declared format (--decode)
   * missing PK maps (when --use-pk-maps)
+  * cross-split patient LEAKAGE: identical image content under the same
+    patient id in two splits (test-score memorization)
 
 Exit code: 0 = clean (possibly with skip warnings), 1 = damaged files or
 an unusable split. --json emits the report as machine-readable JSON.
@@ -244,6 +246,55 @@ def format_report(reports: List[Dict]) -> str:
     return "\n".join(lines)
 
 
+def _leakage_errors(data_path: str, modes: Sequence[str]) -> List[str]:
+    """Cross-split patient leakage: a patient whose image CONTENT appears
+    in two splits means the test score is partly memorization — an ERROR.
+    Same patient ID with different content is left alone (id schemes may
+    restart per split; content is the evidence). Detection: for ids shared
+    between two splits, hash every image file — any relative path with an
+    identical digest in both splits is a duplicated slice."""
+    import hashlib
+
+    def patient_dirs(mode: str) -> Dict[str, str]:
+        d = os.path.join(data_path, "seg", MODE_DIRS.get(mode, mode),
+                         "images")
+        if not os.path.isdir(d):
+            return {}
+        return {p: os.path.join(d, p) for p in os.listdir(d)
+                if os.path.isdir(os.path.join(d, p))}
+
+    def digests(pdir: str) -> Dict[str, str]:
+        out = {}
+        for base, _, files in os.walk(pdir):
+            for f in files:
+                path = os.path.join(base, f)
+                try:
+                    with open(path, "rb") as fh:
+                        out[os.path.relpath(path, pdir)] = hashlib.sha1(
+                            fh.read()).hexdigest()
+                except OSError:
+                    pass
+        return out
+
+    split_patients = {m: patient_dirs(m) for m in modes}
+    errors = []
+    seen = [m for m in modes if split_patients[m]]
+    for i, a in enumerate(seen):
+        for b in seen[i + 1:]:
+            leaked = []
+            for pid in sorted(set(split_patients[a]) & set(split_patients[b])):
+                da = digests(split_patients[a][pid])
+                db = digests(split_patients[b][pid])
+                if any(da.get(rel) == dig for rel, dig in db.items()):
+                    leaked.append(pid)
+            if leaked:
+                errors.append(
+                    f"patient leakage between {a} and {b} (identical "
+                    "image content): " + ", ".join(leaked[:8])
+                    + (" ..." if len(leaked) > 8 else ""))
+    return errors
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(
         description="Diagnose a BreaDM dataset tree (why samples skip)")
@@ -267,7 +318,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
            else DataConfig(
                use_subtraction=args.use_subtraction).resolved_sequence_types)
     reports = []
-    for mode in (m.strip() for m in args.splits.split(",") if m.strip()):
+    modes = [m.strip() for m in args.splits.split(",") if m.strip()]
+    for mode in modes:
         try:
             reports.append(check_split(
                 args.data_path, mode, seq, use_pk_maps=args.use_pk_maps,
@@ -276,6 +328,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         except FileNotFoundError as e:
             reports.append({"mode": mode, "usable": 0,
                             "errors": [str(e)], "warnings": []})
+
+    leak_errors = _leakage_errors(args.data_path, modes)
+    if leak_errors:
+        reports.append({"mode": "cross-split", "usable": 0,
+                        "errors": leak_errors, "warnings": []})
     if args.json:
         print(json.dumps(reports, indent=2))
     else:

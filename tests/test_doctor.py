@@ -164,3 +164,34 @@ def test_unknown_split_is_a_diagnostic_not_a_crash(tree, capsys):
     assert main(["--data-path", tree, "--splits", "training"]) == 1
     out = capsys.readouterr().out
     assert "unknown split 'training'" in out and "train" in out
+
+
+def test_cross_split_patient_leakage_is_an_error(tmp_path, capsys):
+    """The same patient id in two splits (hand-built trees) must fail the
+    doctor: slice-level leakage invalidates the test score."""
+    import shutil
+
+    from stf_unet_tpu.cli.doctor import main as doctor_main
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+    root = str(tmp_path / "leaky")
+    make_synthetic_breadm(root, size=24, time_steps=2)
+    # copy a training patient into test under the SAME id
+    src = os.path.join(root, "seg", "training")
+    dst = os.path.join(root, "seg", "test")
+    shutil.copytree(os.path.join(src, "images", "P000"),
+                    os.path.join(dst, "images", "P000"), dirs_exist_ok=True)
+    shutil.copytree(os.path.join(src, "labels", "P000"),
+                    os.path.join(dst, "labels", "P000"), dirs_exist_ok=True)
+    rc = doctor_main(["--data-path", root, "--sequence-types",
+                      "VIBRANT+C1,VIBRANT+C2"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "patient leakage between train and test" in out
+    assert "P000" in out
+
+    # a clean tree stays clean
+    clean = str(tmp_path / "clean")
+    make_synthetic_breadm(clean, size=24, time_steps=2)
+    assert doctor_main(["--data-path", clean, "--sequence-types",
+                        "VIBRANT+C1,VIBRANT+C2"]) == 0
