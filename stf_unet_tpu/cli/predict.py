@@ -290,39 +290,17 @@ def predict(args: argparse.Namespace) -> dict:
 
     # same-geometry slices batch together on the eval-resize path
     pending: Dict[Tuple[int, ...], List] = {}
-    prob_fns: Dict[Tuple[int, ...], object] = {}
     written = 0
     patients = set()
-
-    def _prob_fn(shape):
-        fn = prob_fns.get(shape)
-        if fn is None:
-            import jax
-            import jax.numpy as jnp
-
-            from stf_unet_tpu.data.transforms import normalize
-            from stf_unet_tpu.models.registry import preprocess_input
-
-            @jax.jit
-            def fwd(vs, x_u8):
-                x = normalize(x_u8, data_cfg.mean, data_cfg.std)
-                logits = model.apply(vs, preprocess_input(x, model),
-                                     train=False)["out"]
-                # masks argmax from LOGITS (exact engine parity); probs
-                # float16 for compact artifacts
-                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                        jax.nn.softmax(logits, axis=-1)
-                        .astype(jnp.float16))
-            fn = prob_fns[shape] = fwd
-        return fn
 
     def flush(shape):
         nonlocal written
         batch = pending.pop(shape)
         images = np.stack([b[0] for b in batch])
         if args.save_probs:
-            masks, probs = _prob_fn(tuple(images.shape))(variables, images)
-            masks, probs = np.asarray(masks), np.asarray(probs)
+            # the engine's own compiled forward (same program, same
+            # bucketing) also emits float16 softmax probabilities
+            masks, probs = engine.predict(images, return_probs=True)
         else:
             masks, probs = engine.predict(images), None
         for i, ((image, (h, w), meta), mask) in enumerate(zip(batch, masks)):

@@ -73,8 +73,9 @@ def assign_patients(patients: List[str], *, seed: int,
     np.random.default_rng(seed).shuffle(order)
     n = len(order)
     if kfold:
-        if not 2 <= kfold <= n:
-            raise SystemExit(f"--kfold must be in [2, {n} patients], "
+        if not 3 <= kfold <= n:
+            raise SystemExit(f"--kfold must be in [3, {n} patients] "
+                             "(2 folds leave no training patients), "
                              f"got {kfold}")
         if not 0 <= fold < kfold:
             raise SystemExit(f"--fold must be in [0, {kfold}), got {fold}")
@@ -83,8 +84,8 @@ def assign_patients(patients: List[str], *, seed: int,
         val = folds[(fold + 1) % kfold]
         train = [p for i, f in enumerate(folds)
                  if i not in (fold, (fold + 1) % kfold) for p in f]
-        return {"training": sorted(train), "val": sorted(val),
-                "test": sorted(test)}
+        return _check_nonempty({"training": sorted(train),
+                                "val": sorted(val), "test": sorted(test)})
     if ratios is None or len(ratios) != 3:
         raise SystemExit("--ratios needs exactly 3 comma-separated values")
     if abs(sum(ratios) - 1.0) > 1e-6 or min(ratios) < 0:
@@ -93,9 +94,22 @@ def assign_patients(patients: List[str], *, seed: int,
     n_val = round(n * ratios[1])
     if n_train + n_val > n:
         n_val = n - n_train
-    return {"training": sorted(order[:n_train]),
-            "val": sorted(order[n_train:n_train + n_val]),
-            "test": sorted(order[n_train + n_val:])}
+    return _check_nonempty({"training": sorted(order[:n_train]),
+                            "val": sorted(order[n_train:n_train + n_val]),
+                            "test": sorted(order[n_train + n_val:])})
+
+
+def _check_nonempty(assignment: Dict[str, List[str]]) -> Dict[str, List[str]]:
+    """An empty split is never usable (--kfold 2 leaves train empty;
+    a 0 ratio empties its split): fail at assignment time, not when
+    stf-train later finds no seg/training."""
+    empty = [s for s, p in assignment.items() if not p]
+    if empty:
+        raise SystemExit(
+            f"split(s) {empty} would be EMPTY with this configuration "
+            f"({ {s: len(p) for s, p in assignment.items()} }) — use more "
+            "patients, a larger --kfold, or nonzero ratios")
+    return assignment
 
 
 def split(args: argparse.Namespace) -> dict:

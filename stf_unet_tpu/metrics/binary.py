@@ -45,6 +45,9 @@ def compute_metrics(pred, target, smooth: float = 1e-5) -> Tuple[float, float]:
 
 _SWEEP_BINS = 1024  # probability-histogram resolution (exact to 1/1024)
 
+# np.trapezoid is the NumPy>=2 spelling; fall back for 1.x installs.
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 class ThresholdSweep:
     """Streaming foreground-probability histograms -> threshold table +
@@ -105,12 +108,12 @@ class ThresholdSweep:
         # (precision -> 1 there by the usual convention).
         tpr = np.concatenate([cum_pos / max(P, 1), [0.0]])
         fpr = np.concatenate([cum_neg / max(N, 1), [0.0]])
-        roc_auc = float(-np.trapezoid(tpr, fpr))  # fpr descends with k
+        roc_auc = float(-_trapezoid(tpr, fpr))  # fpr descends with k
         denom = cum_pos + cum_neg
         prec = np.concatenate(
             [np.where(denom > 0, cum_pos / np.maximum(denom, 1), 1.0),
              [1.0]])  # 0/0 -> 1: nothing predicted positive, no FPs
-        pr_auc = float(-np.trapezoid(prec, tpr))
+        pr_auc = float(-_trapezoid(prec, tpr))
         return {"rows": rows, "best": best,
                 "roc_auc": roc_auc, "pr_auc": pr_auc,
                 "positives": P, "negatives": N}

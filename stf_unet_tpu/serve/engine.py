@@ -75,8 +75,9 @@ class InferenceEngine:
         self._fns: Dict[Tuple[int, ...], Any] = {}
         self._jax = jax
 
-    def _fn_for(self, shape: Tuple[int, ...]):
-        fn = self._fns.get(shape)
+    def _fn_for(self, shape: Tuple[int, ...], probs: bool = False):
+        key = (shape, probs)
+        fn = self._fns.get(key)
         if fn is None:
             import jax
             import jax.numpy as jnp
@@ -96,9 +97,13 @@ class InferenceEngine:
                 x = normalize(x_u8, mean, std)
                 logits = model.apply(variables, preprocess_input(x, model),
                                      train=False)["out"]
-                return jnp.argmax(logits, axis=-1).astype(out_dtype)
+                mask = jnp.argmax(logits, axis=-1).astype(out_dtype)
+                if probs:  # float16 softmax for compact prob artifacts
+                    return mask, jax.nn.softmax(
+                        logits, axis=-1).astype(jnp.float16)
+                return mask
 
-            fn = self._fns[shape] = fwd
+            fn = self._fns[key] = fwd
         return fn
 
     def _bucket(self, n: int, max_batch: int) -> int:
@@ -113,23 +118,34 @@ class InferenceEngine:
             b = max(max_batch - max_batch % self._n_dev, self._n_dev)
         return b
 
-    def predict(self, images: np.ndarray) -> np.ndarray:
-        """images uint8 [B, T, h, w, 1] -> masks int32 [B, h, w]."""
+    def predict(self, images: np.ndarray, return_probs: bool = False):
+        """images uint8 [B, T, h, w, 1] -> masks int32 [B, h, w];
+        return_probs=True additionally returns float16 softmax
+        probabilities [B, h, w, C] from the SAME compiled forward
+        (same bucketing; argmax is taken from the logits, so masks are
+        identical either way)."""
         if (self.tiled is not None
                 and images.shape[2:4] != (self.tiled.tile, self.tiled.tile)):
+            if return_probs:
+                raise ValueError("return_probs is unavailable on the tiled "
+                                 "path (the tile blend emits argmax masks)")
             return np.stack([self.tiled.predict(img) for img in images])
         n = images.shape[0]
         b = self._bucket(n, self.max_batch)
         if n < b:  # pad by replicating row 0; sliced off below
             pad = np.repeat(images[:1], b - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
-        fn = self._fn_for(tuple(images.shape))
+        fn = self._fn_for(tuple(images.shape), probs=return_probs)
         if self.mesh is not None:
             from stf_unet_tpu.core.mesh import shard_batch
 
             images = shard_batch(self.mesh, images)
-        masks = np.asarray(fn(self.variables, images)).astype(np.int32)
-        return masks[:n]
+        out = fn(self.variables, images)
+        if return_probs:
+            masks, probs = out
+            return (np.asarray(masks).astype(np.int32)[:n],
+                    np.asarray(probs)[:n])
+        return np.asarray(out).astype(np.int32)[:n]
 
     def warmup(self, t_steps: int, h: int, w: int) -> None:
         """Pre-compile every batch bucket for one input geometry so the

@@ -199,7 +199,11 @@ def test_predict_save_probs(trained, tmp_path):
             probs = npz["probs"]
         assert probs.dtype == np.float16
         assert probs.shape == mask.shape + (2,)
-        np.testing.assert_array_equal(np.argmax(probs, -1), mask)
+        # masks argmax from LOGITS; f16 rounding can flip near-ties
+        p32 = probs.astype(np.float32)
+        decided = np.abs(p32[..., 1] - p32[..., 0]) > 2e-3
+        np.testing.assert_array_equal(np.argmax(probs, -1)[decided],
+                                      mask[decided])
         np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
 
     # incompatible-mode guard

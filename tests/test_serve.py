@@ -489,3 +489,25 @@ def test_http_timeout_maps_to_503(tiny_model, data_cfg):
             assert "timed out" in json.loads(e.read())["error"]
     finally:
         srv.stop()
+
+
+def test_engine_return_probs(tiny_model, data_cfg):
+    """predict(return_probs=True): same masks as the plain path (same
+    compiled forward, argmax from logits) + float16 softmax probs that
+    sum to 1 and argmax back to the mask; works through batch padding."""
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std)
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, (3, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+    masks, probs = eng.predict(x, return_probs=True)
+    np.testing.assert_array_equal(masks, eng.predict(x))
+    assert probs.dtype == np.float16
+    assert probs.shape == masks.shape + (2,)  # binary tiny_model
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
+    # masks argmax from LOGITS; f16 rounding can flip near-ties, so
+    # require agreement only where the class gap exceeds f16 resolution
+    p32 = probs.astype(np.float32)
+    decided = np.abs(p32[..., 1] - p32[..., 0]) > 2e-3
+    assert decided.mean() > 0.5
+    np.testing.assert_array_equal(np.argmax(probs, -1)[decided],
+                                  masks[decided])

@@ -68,6 +68,15 @@ class TestAssign:
         with pytest.raises(SystemExit):
             assign_patients(pts, seed=0, kfold=3, fold=3)
 
+    def test_empty_split_configurations_rejected(self):
+        pts = [f"P{i}" for i in range(6)]
+        with pytest.raises(SystemExit):  # 2 folds leave train empty
+            assign_patients(pts, seed=0, kfold=2)
+        with pytest.raises(SystemExit):  # zero ratio empties its split
+            assign_patients(pts, seed=0, ratios=[0.0, 0.5, 0.5])
+        with pytest.raises(SystemExit):  # rounding can empty test too
+            assign_patients(pts, seed=0, ratios=[0.9, 0.1, 0.0])
+
 
 def test_split_cli_materializes_breadm_layout(tmp_path):
     src = _make_pool(str(tmp_path))
