@@ -73,11 +73,14 @@ class InferenceEngine:
             self.variables = variables
         self.tiled = tiled
         self._fns: Dict[Tuple[int, ...], Any] = {}
+        self._prob_fns: Dict[Tuple[int, ...], Any] = {}
         self._jax = jax
 
     def _fn_for(self, shape: Tuple[int, ...], probs: bool = False):
-        key = (shape, probs)
-        fn = self._fns.get(key)
+        # probs variants live in their own cache: _fns keys (input shapes)
+        # are reported by the /metrics endpoint and asserted by tests.
+        cache = self._prob_fns if probs else self._fns
+        fn = cache.get(shape)
         if fn is None:
             import jax
             import jax.numpy as jnp
@@ -103,7 +106,7 @@ class InferenceEngine:
                         logits, axis=-1).astype(jnp.float16)
                 return mask
 
-            fn = self._fns[key] = fwd
+            fn = cache[shape] = fwd
         return fn
 
     def _bucket(self, n: int, max_batch: int) -> int:
