@@ -82,8 +82,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    help="also write per-class softmax probabilities as "
                         "<slice>_probs.npz ('probs' float16 [h, w, C] at "
                         "the eval geometry) — for downstream custom "
-                        "thresholds / uncertainty analysis. Not available "
-                        "with --tiled or --data-parallel.")
+                        "thresholds / uncertainty analysis. Composes with "
+                        "--data-parallel; unavailable with --tiled.")
     p.add_argument("--pk-fit", action="store_true",
                    help="also fit the extended Tofts model per voxel on "
                         "each slice's temporal stack (the cli/pipeline "
@@ -219,9 +219,9 @@ def predict(args: argparse.Namespace) -> dict:
         raise SystemExit(
             "--use-pk-maps needs --pk-maps <dir> holding "
             "<patient>/{ktrans,ve,vp}.png (generate with stf-pk-maps)")
-    if args.save_probs and (args.tiled or args.data_parallel != 1):
-        raise SystemExit("--save-probs supports the plain eval-geometry "
-                         "path only (not --tiled / --data-parallel)")
+    if args.save_probs and args.tiled:
+        raise SystemExit("--save-probs is unavailable with --tiled (the "
+                         "tile blend emits argmax masks only)")
     enable_compilation_cache()
     model, state, data_cfg, model_cfg, ckpt, kind, num_classes = (
         restore_for_inference(

@@ -511,3 +511,26 @@ def test_engine_return_probs(tiny_model, data_cfg):
     assert decided.mean() > 0.5
     np.testing.assert_array_equal(np.argmax(probs, -1)[decided],
                                   masks[decided])
+
+
+def test_engine_mesh_return_probs_matches_unmeshed(tiny_model, data_cfg):
+    """return_probs under a data mesh: masks AND float16 probabilities are
+    bit-identical to the unmeshed engine (stf-predict --save-probs
+    --data-parallel)."""
+    from stf_unet_tpu.core.mesh import create_mesh
+
+    model, variables = tiny_model
+    eng1 = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                           max_batch=16)
+    engN = InferenceEngine(model, variables, data_cfg.mean, data_cfg.std,
+                           max_batch=16, mesh=create_mesh(8))
+    rng = np.random.default_rng(9)
+    for n in (2, 8, 11):
+        x = rng.integers(0, 256, (n, T_STEPS, CROP, CROP, 1), dtype=np.uint8)
+        m1, p1 = eng1.predict(x, return_probs=True)
+        mN, pN = engN.predict(x, return_probs=True)
+        np.testing.assert_array_equal(mN, m1)
+        # GSPMD changes the softmax reduction/fusion order: probs agree
+        # to one f16 ulp (masks above are from logits — bit-equal)
+        np.testing.assert_allclose(pN.astype(np.float32),
+                                   p1.astype(np.float32), atol=2.5e-4)
