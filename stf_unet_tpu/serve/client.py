@@ -77,6 +77,15 @@ class SegmentationClient:
         with np.load(io.BytesIO(body)) as npz:
             return np.asarray(npz["mask"])
 
+    def segment_probs(self, frames: np.ndarray, full_size: bool = False):
+        """(mask, float16 softmax probs [h, w, C]) — uncertainty /
+        custom-threshold analysis traffic (?probs=1; skips the server's
+        dynamic batcher, unavailable in tiled mode)."""
+        q = "?probs=1" + ("&full_size=1" if full_size else "")
+        body = self._request("/v1/segment" + q, self._payload(frames))
+        with np.load(io.BytesIO(body)) as npz:
+            return np.asarray(npz["mask"]), np.asarray(npz["probs"])
+
     def segment_png(self, frames: np.ndarray,
                     full_size: bool = False) -> bytes:
         """PNG render of the mask (binary masks render 0/255)."""

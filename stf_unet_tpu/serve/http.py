@@ -15,7 +15,10 @@ Endpoints:
                             or ?format=png for a PNG mask render.
                             ?full_size=1 nearest-upsamples the mask back to
                             the input H/W (the overlay-render convention,
-                            cli/pipeline).
+                            cli/pipeline). ?probs=1 returns an npz with the
+                            mask AND float16 softmax probabilities (direct
+                            engine call, skips the dynamic batcher; not
+                            available in tiled mode).
 
 The transport is deliberately minimal: ThreadingHTTPServer accepts
 concurrent clients, every request blocks on the DynamicBatcher, and the
@@ -198,6 +201,25 @@ class SegmentationServer:
             mask = mask[rows][:, cols]
         return mask
 
+    def segment_probs(self, frames: np.ndarray, full_size: bool = False):
+        """(mask, float16 softmax probs [h, w, C]) for ?probs=1 requests.
+        Calls the engine directly (the DynamicBatcher coalesces mask-only
+        requests; probs requests are rare analysis traffic and skip it —
+        the same compiled forward serves them, batch bucket 1+)."""
+        if self.tiled is not None:
+            raise ValueError("probabilities are unavailable in tiled mode "
+                             "(the tile blend emits argmax masks)")
+        image, (h, w) = self.preprocess(frames)
+        masks, probs = self.engine.predict(image[None], return_probs=True)
+        mask, prob = masks[0][:h, :w], probs[0][:h, :w]
+        if full_size and mask.shape != frames.shape[1:]:
+            from stf_unet_tpu.ops.resize import _nearest_indices
+            h, w = frames.shape[1:]
+            rows = _nearest_indices(mask.shape[0], h)
+            cols = _nearest_indices(mask.shape[1], w)
+            mask, prob = mask[rows][:, cols], prob[rows][:, cols]
+        return mask, prob
+
 
 def _make_handler(server: SegmentationServer):
     class Handler(BaseHTTPRequestHandler):
@@ -280,6 +302,12 @@ def _make_handler(server: SegmentationServer):
             qs = parse_qs(url.query)
             fmt = qs.get("format", ["json"])[0]
             full = qs.get("full_size", ["0"])[0] in ("1", "true")
+            want_probs = qs.get("probs", ["0"])[0] in ("1", "true")
+            if want_probs and fmt == "png":
+                self._send_json(400, {"error": "probs=1 returns an npz "
+                                               "(mask + probs); png cannot "
+                                               "carry probabilities"})
+                return
             try:
                 with np.load(io.BytesIO(payload)) as npz:
                     frames = np.asarray(npz["frames"])
@@ -293,15 +321,31 @@ def _make_handler(server: SegmentationServer):
                 return
             try:
                 t0 = time.perf_counter()
-                mask = server.segment(frames, full_size=full)
+                if want_probs:
+                    mask, probs = server.segment_probs(frames,
+                                                       full_size=full)
+                else:
+                    mask = server.segment(frames, full_size=full)
                 server.stats.record((time.perf_counter() - t0) * 1000.0)
             except TimeoutError as e:  # transient: retryable, not a 4xx
                 server.stats.record_error()
                 self._send_json(503, {"error": str(e)})
                 return
+            except ValueError as e:  # e.g. probs requested in tiled mode
+                server.stats.record_error()
+                self._send_json(400, {"error": str(e)})
+                return
             except Exception as e:  # server-side failure (device/compile)
                 server.stats.record_error()
                 self._send_json(500, {"error": str(e)})
+                return
+            if want_probs:  # npz regardless of format=json default
+                buf = io.BytesIO()
+                np.savez_compressed(
+                    buf, mask=mask.astype(np.uint8)
+                    if int(mask.max(initial=0)) <= 255 else mask,
+                    probs=probs)
+                self._send(200, buf.getvalue(), "application/octet-stream")
                 return
             # Masks with class indices past a byte must not wrap: the
             # engine already picked int32 for >256-class models.

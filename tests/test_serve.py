@@ -534,3 +534,33 @@ def test_engine_mesh_return_probs_matches_unmeshed(tiny_model, data_cfg):
         # to one f16 ulp (masks above are from logits — bit-equal)
         np.testing.assert_allclose(pN.astype(np.float32),
                                    p1.astype(np.float32), atol=2.5e-4)
+
+
+def test_http_probs_roundtrip(server, data_cfg):
+    """?probs=1 returns an npz with mask + float16 probs consistent with
+    the plain mask path; png+probs is a 400; the client SDK decodes it."""
+    rng = np.random.default_rng(11)
+    frames = _frames(rng, CROP, CROP)
+    with _post_npz(server, frames, "?probs=1") as r:
+        with np.load(io.BytesIO(r.read())) as npz:
+            mask, probs = np.asarray(npz["mask"]), np.asarray(npz["probs"])
+    assert probs.dtype == np.float16
+    assert probs.shape == mask.shape + (2,)
+    np.testing.assert_allclose(probs.astype(np.float32).sum(-1), 1.0,
+                               atol=2e-3)
+    # plain mask path agrees (same compiled forward family)
+    with _post_npz(server, frames, "?format=npz") as r:
+        with np.load(io.BytesIO(r.read())) as npz:
+            np.testing.assert_array_equal(np.asarray(npz["mask"]), mask)
+
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_npz(server, frames, "?probs=1&format=png")
+    assert e.value.code == 400
+
+    from stf_unet_tpu.serve.client import SegmentationClient
+    host, port = server.address
+    m2, p2 = SegmentationClient(f"http://{host}:{port}").segment_probs(
+        frames, full_size=True)
+    assert m2.shape == frames.shape[1:]
+    assert p2.shape == frames.shape[1:] + (2,)
