@@ -152,11 +152,15 @@ class InferenceEngine:
 
     def warmup(self, t_steps: int, h: int, w: int) -> None:
         """Pre-compile every batch bucket for one input geometry so the
-        first real requests don't pay the XLA compile."""
+        first real requests don't pay the XLA compile — including the
+        probs variant at its request bucket (?probs=1 requests arrive
+        batch-1 via segment_probs and compile a SEPARATE program)."""
         for b in sorted({self._bucket(i + 1, self.max_batch)
                          for i in range(self.max_batch)}):
             x = np.zeros((b, t_steps, h, w, 1), np.uint8)
             self.predict(x)
+        self.predict(np.zeros((1, t_steps, h, w, 1), np.uint8),
+                     return_probs=True)
 
 
 class _Request:

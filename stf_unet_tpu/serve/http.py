@@ -204,8 +204,10 @@ class SegmentationServer:
     def segment_probs(self, frames: np.ndarray, full_size: bool = False):
         """(mask, float16 softmax probs [h, w, C]) for ?probs=1 requests.
         Calls the engine directly (the DynamicBatcher coalesces mask-only
-        requests; probs requests are rare analysis traffic and skip it —
-        the same compiled forward serves them, batch bucket 1+)."""
+        requests; probs requests are rare analysis traffic and skip it).
+        The probs forward is a SEPARATE compiled program per geometry —
+        engine.warmup pre-compiles it so the first request doesn't pay
+        the XLA compile."""
         if self.tiled is not None:
             raise ValueError("probabilities are unavailable in tiled mode "
                              "(the tile blend emits argmax masks)")

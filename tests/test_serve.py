@@ -531,9 +531,10 @@ def test_engine_mesh_return_probs_matches_unmeshed(tiny_model, data_cfg):
         mN, pN = engN.predict(x, return_probs=True)
         np.testing.assert_array_equal(mN, m1)
         # GSPMD changes the softmax reduction/fusion order: probs agree
-        # to one f16 ulp (masks above are from logits — bit-equal)
+        # to one f16 ulp — which is 4.88e-4 for values in [0.5, 1), the
+        # dominant class (masks above are from logits — bit-equal)
         np.testing.assert_allclose(pN.astype(np.float32),
-                                   p1.astype(np.float32), atol=2.5e-4)
+                                   p1.astype(np.float32), atol=5e-4)
 
 
 def test_http_probs_roundtrip(server, data_cfg):

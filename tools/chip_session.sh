@@ -17,11 +17,14 @@ mkdir -p "$OUT"
 
 probe=$(timeout 300 python - <<'EOF'
 import bench
-print("down" if bench.tpu_reachable() else "up")
+p = bench.tpu_reachable()
+print("up" if p is None else f"down: {p}")
 EOF
-)
-if [ "${probe:-down}" != "up" ]; then
-    echo "TPU tunnel is DOWN — nothing measured. Re-run later." >&2
+) || probe="down: probe runner itself failed (PYTHONPATH/bench import?)"
+if [ "${probe:-}" != "up" ]; then
+    # tpu_reachable distinguishes a hung tunnel from a fast plugin/import
+    # failure — surface the diagnostic, don't collapse it to "down".
+    echo "TPU not measurable — ${probe:-probe timed out before printing}" >&2
     exit 1
 fi
 echo "TPU up; measuring (compiles ride $STF_UNET_COMPILE_CACHE)"
