@@ -580,3 +580,50 @@ def test_cached_eval_batches_replay_identical(synthetic_root):
     for (i1, t1), (i2, t2) in zip(first, second):
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(t1, t2)
+
+
+def test_affine_warp_rotation_property_sweep_vs_pil():
+    """Property sweep of the rotation component: 12 random (angle, source
+    size, crop offset) configs vs PIL Image.rotate + crop — the golden
+    fixed-parameter test generalized, so no angle/offset family regresses
+    silently."""
+    from PIL import Image
+    from stf_unet_tpu.data.transforms import _bilinear_gather, _build_affine
+
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        size = int(rng.integers(40, 97))
+        crop = int(rng.integers(16, size // 2 + 8))
+        angle = float(rng.uniform(-30.0, 30.0))
+        y0 = int(rng.integers(0, size - crop))
+        x0 = int(rng.integers(0, size - crop))
+        src = rng.integers(0, 255, (size, size), dtype=np.uint8)
+
+        pil = Image.fromarray(src).rotate(angle, resample=Image.BILINEAR,
+                                          expand=False)
+        want = np.asarray(pil, np.float32)[y0:y0 + crop,
+                                           x0:x0 + crop] / 255.0
+
+        compose = _build_affine(
+            scale=jnp.float32(1.0), res_h=jnp.float32(size),
+            res_w=jnp.float32(size), hflip=jnp.asarray(False),
+            vflip=jnp.asarray(False),
+            angle=jnp.float32(np.deg2rad(angle)),
+            y0=jnp.float32(y0), x0=jnp.float32(x0))
+        gy, gx = compose(*jnp.meshgrid(
+            jnp.arange(crop, dtype=jnp.float32),
+            jnp.arange(crop, dtype=jnp.float32), indexing="ij"))
+        got = np.asarray(_bilinear_gather(
+            jnp.asarray(src, jnp.float32) / 255.0, gy, gx,
+            jnp.float32(size), jnp.float32(size)))
+        # Compare where the sample coordinates are strictly in-bounds:
+        # out-of-source pixels take each implementation's border-fill
+        # semantics (the golden center-crop test dodges them the same
+        # way); the interpolation is what must agree.
+        inb = np.asarray((gy >= 1) & (gy <= size - 2)
+                         & (gx >= 1) & (gx <= size - 2))
+        assert inb.mean() > 0.5  # the sweep must mostly test real pixels
+        err = np.abs(got - want)[inb].max()
+        assert err <= (1.0 / 255.0) * 1.5, (
+            f"trial {trial}: size={size} crop={crop} angle={angle:.2f} "
+            f"off=({y0},{x0}) max err {err * 255:.2f} levels")
