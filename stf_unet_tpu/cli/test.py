@@ -191,6 +191,8 @@ def test(args: argparse.Namespace) -> dict:
         metrics["patient_report"] = _per_patient_report(
             test_index, metrics["outputs"], metrics["batches"], num_classes,
             surface=args.surface_metrics)
+        _dump_json(metrics["patient_report"],
+                   os.path.join(args.output_dir, "patient_report.json"))
 
     if args.threshold_sweep:
         from stf_unet_tpu.metrics.binary import (ThresholdSweep,
@@ -205,12 +207,37 @@ def test(args: argparse.Namespace) -> dict:
         metrics["threshold_sweep"] = sweep.report()
         print("Foreground-probability threshold sweep:")
         print(format_threshold_sweep(metrics["threshold_sweep"]))
+        _dump_json(metrics["threshold_sweep"],
+                   os.path.join(args.output_dir, "threshold_sweep.json"))
 
     print("Test Set Metrics:")
     print(metrics["confusion_str"])
     print(f"Dice: {metrics['dice']:.4f}")
     print(f"mIoU: {metrics['mean_metrics']['miou']:.4f}")
     return metrics
+
+
+def _dump_json(obj, path: str) -> None:
+    """Persist a report dict next to the renders (nan -> null, numpy ->
+    python), so the console tables survive as machine-readable artifacts."""
+    import json
+    import math
+
+    def clean(x):
+        if isinstance(x, dict):
+            return {str(k): clean(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [clean(v) for v in x]
+        if isinstance(x, (np.floating, float)):
+            return None if math.isnan(x) else float(x)
+        if isinstance(x, (np.integer,)):
+            return int(x)
+        return x
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(clean(obj), f, indent=2)
+    print(f"wrote {path}")
 
 
 def _per_patient_report(test_index: DatasetIndex, outputs, batches,
@@ -299,6 +326,8 @@ def _test_tiled(args: argparse.Namespace, model, state, data_cfg,
               + ("; hd95/assd in pixel units" if args.surface_metrics
                  else "") + "):")
         print(format_patient_report(patient_report))
+        _dump_json(patient_report,
+                   os.path.join(args.output_dir, "patient_report.json"))
 
     mat = np.asarray(conf)
     report = confusion_report(mat)

@@ -202,6 +202,14 @@ def test_cli_per_patient_end_to_end(tmp_path):
     # every test pixel lands in exactly one histogram (4 slices @ 32x32)
     assert sweep["positives"] + sweep["negatives"] == 4 * 32 * 32
 
+    # reports persist as machine-readable artifacts next to the renders
+    import json
+    with open(tmp_path / "t" / "patient_report.json") as f:
+        saved = json.load(f)
+    assert saved["summary"]["num_patients"] == 2
+    with open(tmp_path / "t" / "threshold_sweep.json") as f:
+        assert len(json.load(f)["rows"]) == 19
+
     # batch_size != 1 is rejected (bucketing reorders samples)
     with pytest.raises(SystemExit):
         test_cli.main(["--model", "unet", "--model-dir", str(tmp_path / "w"),
