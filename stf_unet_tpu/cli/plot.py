@@ -195,6 +195,52 @@ def render_compare(runs: Dict[str, Dict[str, List[float]]],
     plt.close(fig)
 
 
+def render_patient_report(report: Dict, out_png: str,
+                          title: Optional[str] = None) -> None:
+    """Per-patient dice bars (sorted, mean +/- std band across patients)
+    from a cli/test --per-patient `patient_report.json`; a second panel
+    shows HD95 when surface metrics were collected."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    patients = report["patients"]
+    order = sorted(patients, key=lambda p: patients[p]["dice"])
+    dice = [patients[p]["dice"] for p in order]
+    surface = any(patients[p].get("hd95") is not None for p in patients)
+
+    ncols = 2 if surface else 1
+    fig, axes = plt.subplots(
+        1, ncols, figsize=(4.6 * ncols, max(2.2, 0.32 * len(order) + 1.2)),
+        squeeze=False)
+    fig.patch.set_facecolor(SURFACE)
+
+    ax = axes[0][0]
+    _style_axis(ax, "dice per patient")
+    ax.set_xlabel("dice", color=TEXT_SECONDARY, fontsize=8)
+    ax.barh(order, dice, color=SERIES[0], height=0.62)
+    s = report["summary"].get("dice")
+    if s:
+        ax.axvline(s["mean"], color=SERIES[1], linewidth=1.2)
+        ax.axvspan(s["mean"] - s["std"], s["mean"] + s["std"],
+                   color=SERIES[1], alpha=0.12, linewidth=0)
+    ax.set_xlim(0.0, 1.0)
+
+    if surface:
+        ax2 = axes[0][1]
+        _style_axis(ax2, "HD95 per patient (px)")
+        ax2.set_xlabel("hd95", color=TEXT_SECONDARY, fontsize=8)
+        hd = [patients[p].get("hd95") or 0.0 for p in order]
+        ax2.barh(order, hd, color=SERIES[2], height=0.62)
+
+    n = report["summary"]["num_patients"]
+    fig.suptitle(title or f"per-patient metrics ({n} patients)",
+                 color=TEXT_PRIMARY, fontsize=11, x=0.02, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.94))
+    fig.savefig(out_png, dpi=140)
+    plt.close(fig)
+
+
 def _run_label(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
@@ -231,6 +277,16 @@ def run(argv: Optional[Sequence[str]] = None) -> List[str]:
     written: List[str] = []
     if len(args.files) == 1:
         path = args.files[0]
+        if path.endswith(".json"):  # cli/test --per-patient artifact
+            with open(path) as f:
+                report = json.load(f)
+            if "patients" not in report:
+                raise SystemExit(f"{path}: not a patient_report.json "
+                                 "(no 'patients' key)")
+            out = args.output or os.path.splitext(path)[0] + ".png"
+            render_patient_report(report, out, title=args.title)
+            print(f"wrote {out}")
+            return [out]
         out = args.output or os.path.splitext(path)[0] + "_curves.png"
         render_run(parse_run(path), out,
                    title=args.title or _run_label(path))

@@ -116,3 +116,39 @@ def test_plot_cli_compare_same_basename(tmp_path):
     assert run([a, b, "--output", out]) == [out]
     with pytest.raises(ValueError, match="duplicate run inputs"):
         _run_labels([a, a])
+
+
+def test_patient_report_render(tmp_path):
+    """stf-plot renders a cli/test patient_report.json to per-patient
+    bars (with the HD95 panel when surface metrics are present)."""
+    import json
+
+    from stf_unet_tpu.cli.plot import run as plot_run
+
+    report = {
+        "patients": {
+            "P000": {"dice": 0.91, "class_dice": [0.91], "slices": 4,
+                     "pixels": 4096, "hd95": 2.2, "assd": 0.4,
+                     "surface_undefined": 0},
+            "P001": {"dice": 0.77, "class_dice": [0.77], "slices": 4,
+                     "pixels": 4096, "hd95": 6.0, "assd": 1.3,
+                     "surface_undefined": 1},
+        },
+        "summary": {"num_patients": 2,
+                    "dice": {"mean": 0.84, "std": 0.07, "median": 0.84},
+                    "hd95": {"mean": 4.1, "std": 1.9, "median": 4.1},
+                    "assd": {"mean": 0.85, "std": 0.45, "median": 0.85},
+                    "surface_undefined": 1},
+    }
+    src = tmp_path / "patient_report.json"
+    src.write_text(json.dumps(report))
+    out = plot_run([str(src)])
+    assert out == [str(tmp_path / "patient_report.png")]
+    assert (tmp_path / "patient_report.png").stat().st_size > 2000
+
+    # a json without 'patients' is rejected with a clear message
+    bad = tmp_path / "other.json"
+    bad.write_text(json.dumps({"rows": []}))
+    import pytest
+    with pytest.raises(SystemExit):
+        plot_run([str(bad)])
