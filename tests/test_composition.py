@@ -42,9 +42,17 @@ def test_multiclass_ema_accum_checkpoint_tests_with_tta(trained):
 
     root, w, base = trained
     m = test_cli.main(["--model", "unet", "--model-dir", w, "--root", root,
-                       "--tta", "--output-dir", str(base / "t")])
+                       "--tta", "--per-patient", "--surface-metrics",
+                       "--output-dir", str(base / "t")])
     assert np.isfinite(m["dice"])
     assert m["confusion_matrix"].shape == (4, 4)
+    # per-patient + surface reporting composes with multiclass + EMA + TTA:
+    # 3 foreground classes per patient, boundary metrics per class
+    rep = m["patient_report"]
+    assert rep["summary"]["num_patients"] == 2
+    for p in rep["patients"].values():
+        assert len(p["class_dice"]) == 3
+        assert "hd95" in p
 
 
 def test_multiclass_ema_checkpoint_quantizes(trained):
