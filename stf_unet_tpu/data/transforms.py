@@ -35,6 +35,27 @@ from stf_unet_tpu.core.config import DataConfig
 from stf_unet_tpu.ops.resize import pil_resize_weights, short_edge_size
 
 
+def _tap_dtype() -> jnp.dtype:
+    """Gather dtype for the fused warp's tap gathers. Raw-scale pixels are
+    0..255 integers — exact in f32, bf16, and uint8 alike — so this is a
+    pure performance knob with bit-identical output (pinned by
+    tests/test_data.py::test_tap_dtype_variants_bit_identical).
+
+    Which dtype gathers fastest is TOOLCHAIN-dependent, not architectural:
+    the 2026-06 chip session measured bf16 taps 1.76x over f32 on isolated
+    [T]-wide gathers; the 2026-08 session measured the inverse on the same
+    microbench (f32 22.9 ms vs bf16 27.3 ms vs uint8 46.9 ms,
+    tools/perf_warp_gather.py) — the gather lowering changed under us.
+    The PRODUCTION program is indifferent (bf16 28.4 ms vs f32 29.0 ms
+    augment, within noise): its single stacked [T+1]-channel gather is
+    per-index-bound, so tap width barely matters. Default stays bf16;
+    override with STF_UNET_TAP_DTYPE={f32,bf16,u8} and re-measure when
+    the toolchain moves."""
+    import os
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16, "u8": jnp.uint8}[
+        os.environ.get("STF_UNET_TAP_DTYPE", "bf16")]
+
+
 @functools.lru_cache(maxsize=64)
 def _banded_resize_taps(in_size: int, out_size: int):
     """PIL's resize matrix (ops/resize.pil_resize_weights) is banded: each
@@ -235,10 +256,10 @@ def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
     `round(g) != floor(g)` tap selection; out-of-valid -> fill.
 
     Gathered values convert to f32 right after the gather and ALL
-    arithmetic runs in f32, so callers may pass chans/mask in bf16 to
-    halve the gathered bytes (measured 1.76x on the tap gathers): for
-    uint8-origin raw-scale values (0..255 — integers are bf16-exact) the
-    result is bit-identical to gathering f32.
+    arithmetic runs in f32, so callers may pass chans/mask in any dtype
+    that holds 0..255 integers exactly (f32/bf16/uint8) and the result is
+    bit-identical; which gathers fastest is toolchain-dependent — see
+    _tap_dtype.
     Returns f32 (bilinear chans [C, Ho, Wo], nearest mask [Ho, Wo])."""
     h, w = chans.shape[-2], chans.shape[-1]
     stacked = jnp.concatenate([chans, mask_f[None].astype(chans.dtype)],
@@ -370,9 +391,9 @@ class TrainAugment:
                 # reference's per-frame re-roll, ref:my_dataset.py:173-179).
                 # Frames, PK maps, and the nearest-sampled mask all share
                 # ONE set of tap gathers (_warp_bilinear_and_nearest),
-                # gathered at RAW uint8 scale in bf16 (integers 0..255 are
-                # bf16-exact; half the gathered bytes, 1.76x on the taps)
-                # and normalized after.
+                # gathered at RAW uint8 scale in the measured-fastest tap
+                # dtype (_tap_dtype: integers 0..255 are exact in every
+                # candidate) and normalized after.
                 gy, gx = draw(k)
                 if self.elastic:
                     # Source-space displacement shared by the bilinear
@@ -385,8 +406,9 @@ class TrainAugment:
                     gx = gx + dx
                 raw = frames_i if pk_i is None else jnp.concatenate(
                     [frames_i, pk_i], axis=0)
+                td = _tap_dtype()
                 warped_all, near = _warp_bilinear_and_nearest(
-                    raw.astype(jnp.bfloat16), mask_i.astype(jnp.bfloat16),
+                    raw.astype(td), mask_i.astype(td),
                     gy, gx, src_h, src_w)
                 warped = warped_all[:frames_i.shape[0]] / 255.0
                 if pk_i is not None:

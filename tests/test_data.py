@@ -523,6 +523,31 @@ def test_fused_warp_bf16_raw_scale_exact():
     np.testing.assert_array_equal(np.asarray(near16), np.asarray(near32))
 
 
+def test_tap_dtype_variants_bit_identical(monkeypatch):
+    """STF_UNET_TAP_DTYPE is a pure performance knob (transforms._tap_dtype):
+    the full TrainAugment program must produce bit-identical images and
+    targets for every tap dtype, since raw-scale 0..255 integers are exact
+    in f32, bf16, and uint8 alike."""
+    from stf_unet_tpu.core.config import DataConfig
+    from stf_unet_tpu.data.transforms import TrainAugment
+
+    rng = np.random.default_rng(11)
+    b, t, src = 2, 3, 48
+    frames = rng.integers(0, 256, (b, t, src, src)).astype(np.uint8)
+    masks = rng.integers(0, 2, (b, src, src)).astype(np.uint8)
+    sizes = np.full((b, 2), src, np.int32)
+    cfg = DataConfig(base_size=src, crop_size=32)
+    outs = {}
+    for dt in ("bf16", "f32", "u8"):
+        monkeypatch.setenv("STF_UNET_TAP_DTYPE", dt)
+        aug = TrainAugment(cfg)  # fresh instance -> fresh trace
+        img, tgt = aug(jax.random.key(5), frames, masks, sizes)
+        outs[dt] = (np.asarray(img), np.asarray(tgt))
+    for dt in ("f32", "u8"):
+        np.testing.assert_array_equal(outs[dt][0], outs["bf16"][0])
+        np.testing.assert_array_equal(outs[dt][1], outs["bf16"][1])
+
+
 def test_cache_ram_epochs_identical_to_decode(synthetic_root):
     """cache_ram: epoch 0 (decode+populate) and epoch 1+ (pure np.stack
     from cache) yield byte-identical batches to the uncached loader, and
