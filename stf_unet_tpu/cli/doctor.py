@@ -15,6 +15,8 @@ This CLI walks the tree and reports every issue it can find, per split:
   * missing PK maps (when --use-pk-maps)
   * cross-split patient LEAKAGE: identical image content under the same
     patient id in two splits (test-score memorization)
+  * per-class pixel frequencies + suggested inverse-frequency
+    --loss-class-weights (--class-stats)
 
 Exit code: 0 = clean (possibly with skip warnings), 1 = damaged files or
 an unusable split. --json emits the report as machine-readable JSON.
@@ -231,6 +233,85 @@ def _check_mask_values(mask_path: str, mask_format: str,
     return None
 
 
+def class_pixel_stats(root: str, mode: str, sequence_types: Sequence[str],
+                      *, mask_format: str = "binary",
+                      num_classes: int = 1) -> Optional[Dict]:
+    """Per-class pixel counts over exactly the masks training would serve
+    (DatasetIndex's records), decoded with the loader's label semantics:
+    binary -> //255 (ref:my_dataset.py:166-168), index -> values are class
+    ids with 255 = ignore. Returns {"counts": [per-class pixels],
+    "ignored": n, "weights": suggested inverse-frequency
+    --loss-class-weights (mean 1 over non-empty classes)} or None when the
+    split cannot be indexed."""
+    import contextlib
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from stf_unet_tpu.data.index import DatasetIndex
+
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            index = DatasetIndex(root=root, mode=mode,
+                                 sequence_types=tuple(sequence_types))
+    except (FileNotFoundError, ValueError, RuntimeError):
+        return None
+
+    n = num_classes + 1
+    counts = np.zeros(n, np.int64)
+    ignored = 0
+    for rec in index.records:
+        try:
+            with Image.open(rec.mask_path) as im:
+                m = np.asarray(im.convert("L"))
+        except Exception:
+            continue  # damaged masks are reported by check_split
+        m = m.reshape(-1)
+        if mask_format == "binary":
+            m = m // 255
+            valid = np.ones(m.shape, bool)
+        else:
+            # 255 = ignore; values >= num_classes+1 are out of range
+            # (check_split --decode warns about them) — count both under
+            # "ignored" rather than misattributing to a class.
+            valid = m < n
+            ignored += int((~valid).sum())
+        counts += np.bincount(m[valid], minlength=n)[:n]
+    total = int(counts.sum())
+    if total <= 0:
+        return None
+    # Inverse-frequency weights, normalized to mean 1 over non-empty
+    # classes so the loss scale stays comparable to the unweighted run.
+    nonzero = counts > 0
+    inv = np.zeros(n, np.float64)
+    inv[nonzero] = 1.0 / counts[nonzero]
+    inv *= nonzero.sum() / inv.sum()
+    return {"counts": [int(c) for c in counts], "ignored": ignored,
+            "weights": [round(float(w), 4) if z else None
+                        for w, z in zip(inv, nonzero)]}
+
+
+def format_class_stats(mode: str, stats: Dict) -> List[str]:
+    counts = stats["counts"]
+    total = max(sum(counts), 1)
+    pct = " | ".join(f"class {i}: {100.0 * c / total:.2f}%"
+                     for i, c in enumerate(counts))
+    lines = [f"  class pixels: {pct}"
+             + (f" (+{stats['ignored']} ignore-255)"
+                if stats["ignored"] else "")]
+    if any(w is None for w in stats["weights"]):
+        empty = [i for i, w in enumerate(stats["weights"]) if w is None]
+        lines.append(f"  classes with ZERO pixels: {empty} — check "
+                     "--num-classes / --mask-format before weighting")
+    if mode == "train":
+        ws = ",".join("0" if w is None else f"{w:g}"
+                      for w in stats["weights"])
+        lines.append("  suggested inverse-frequency "
+                     f"--loss-class-weights {ws}")
+    return lines
+
+
 def format_report(reports: List[Dict]) -> str:
     lines = []
     for r in reports:
@@ -239,6 +320,8 @@ def format_report(reports: List[Dict]) -> str:
             lines.append(f"  ERROR   {e}")
         for w in r["warnings"]:
             lines.append(f"  warning {w}")
+        if r.get("class_stats"):
+            lines.extend(format_class_stats(r["mode"], r["class_stats"]))
     total_err = sum(len(r["errors"]) for r in reports)
     total_warn = sum(len(r["warnings"]) for r in reports)
     lines.append(f"summary: {sum(r['usable'] for r in reports)} usable "
@@ -310,6 +393,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    help="fully decode every image: catches truncated "
                         "files, cross-sequence size mismatches, and "
                         "out-of-range mask values (slower)")
+    p.add_argument("--class-stats", action="store_true",
+                   help="decode every served mask and report per-class "
+                        "pixel frequencies + a suggested inverse-frequency "
+                        "--loss-class-weights (from the train split)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -321,10 +408,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     modes = [m.strip() for m in args.splits.split(",") if m.strip()]
     for mode in modes:
         try:
-            reports.append(check_split(
+            report = check_split(
                 args.data_path, mode, seq, use_pk_maps=args.use_pk_maps,
                 mask_format=args.mask_format, num_classes=args.num_classes,
-                decode=args.decode))
+                decode=args.decode)
+            if args.class_stats:
+                report["class_stats"] = class_pixel_stats(
+                    args.data_path, mode, seq,
+                    mask_format=args.mask_format,
+                    num_classes=args.num_classes)
+            reports.append(report)
         except FileNotFoundError as e:
             reports.append({"mode": mode, "usable": 0,
                             "errors": [str(e)], "warnings": []})

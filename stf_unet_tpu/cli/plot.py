@@ -241,6 +241,57 @@ def render_patient_report(report: Dict, out_png: str,
     plt.close(fig)
 
 
+def render_threshold_sweep(report: Dict, out_png: str,
+                           title: Optional[str] = None) -> None:
+    """Operating-point curves from a cli/test --threshold-sweep
+    `threshold_sweep.json`: dice/IoU and precision/recall vs threshold,
+    with the max-dice operating point marked and the pooled ROC/PR AUC in
+    the header. (The reference hardcodes sigmoid>0.5 and never evaluates
+    the operating point — this is the analysis view for choosing one.)"""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = report["rows"]
+    th = [r["threshold"] for r in rows]
+    best = report.get("best") or max(rows, key=lambda r: r["dice"])
+
+    fig, axes = plt.subplots(1, 2, figsize=(9.2, 3.6))
+    fig.patch.set_facecolor(SURFACE)
+
+    panels = (
+        (axes[0], "dice / IoU vs threshold",
+         [("dice", [r["dice"] for r in rows], SERIES[0]),
+          ("IoU", [r["iou"] for r in rows], SERIES[2])]),
+        (axes[1], "precision / recall vs threshold",
+         [("precision", [r["precision"] for r in rows], SERIES[0]),
+          ("recall", [r["recall"] for r in rows], SERIES[1])]),
+    )
+    for ax, ptitle, named in panels:
+        _style_axis(ax, ptitle)
+        ax.set_xlabel("threshold", color=TEXT_SECONDARY, fontsize=8)
+        for name, ys, color in named:
+            ax.plot(th, ys, color=color, linewidth=1.8, label=name,
+                    marker="o", markersize=3)
+        ax.axvline(best["threshold"], color=TEXT_SECONDARY, linewidth=0.9,
+                   linestyle=":")
+        ax.set_ylim(0.0, 1.02)
+        leg = ax.legend(fontsize=8, frameon=False)
+        for t in leg.get_texts():
+            t.set_color(TEXT_SECONDARY)
+    axes[0].annotate(f"best dice {best['dice']:.4f} @ {best['threshold']:.2f}",
+                     color=TEXT_SECONDARY, fontsize=8, xy=(0.98, 0.02),
+                     xycoords="axes fraction", ha="right")
+
+    fig.suptitle(title or (f"threshold sweep — ROC AUC "
+                           f"{report['roc_auc']:.4f}, PR AUC "
+                           f"{report['pr_auc']:.4f}"),
+                 color=TEXT_PRIMARY, fontsize=11, x=0.02, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.92))
+    fig.savefig(out_png, dpi=140)
+    plt.close(fig)
+
+
 def _run_label(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
@@ -277,14 +328,19 @@ def run(argv: Optional[Sequence[str]] = None) -> List[str]:
     written: List[str] = []
     if len(args.files) == 1:
         path = args.files[0]
-        if path.endswith(".json"):  # cli/test --per-patient artifact
+        if path.endswith(".json"):  # cli/test report artifacts
             with open(path) as f:
                 report = json.load(f)
-            if "patients" not in report:
-                raise SystemExit(f"{path}: not a patient_report.json "
-                                 "(no 'patients' key)")
             out = args.output or os.path.splitext(path)[0] + ".png"
-            render_patient_report(report, out, title=args.title)
+            if "patients" in report:
+                render_patient_report(report, out, title=args.title)
+            elif "rows" in report and "roc_auc" in report:
+                render_threshold_sweep(report, out, title=args.title)
+            else:
+                raise SystemExit(
+                    f"{path}: not a cli/test report artifact (expected a "
+                    "patient_report.json with 'patients' or a "
+                    "threshold_sweep.json with 'rows'+'roc_auc')")
             print(f"wrote {out}")
             return [out]
         out = args.output or os.path.splitext(path)[0] + "_curves.png"

@@ -195,3 +195,71 @@ def test_cross_split_patient_leakage_is_an_error(tmp_path, capsys):
     make_synthetic_breadm(clean, size=24, time_steps=2)
     assert doctor_main(["--data-path", clean, "--sequence-types",
                         "VIBRANT+C1,VIBRANT+C2"]) == 0
+
+
+def test_class_stats_binary(tree):
+    """Pixel counts match an independent PIL count over exactly the served
+    masks; suggested weights are inverse-frequency with mean 1."""
+    from stf_unet_tpu.cli.doctor import class_pixel_stats
+
+    stats = class_pixel_stats(tree, "train", SEQ)
+    index = DatasetIndex(root=tree, mode="train", sequence_types=SEQ)
+    fg = total = 0
+    for rec in index.records:
+        m = np.asarray(Image.open(rec.mask_path).convert("L")) // 255
+        fg += int(m.sum())
+        total += m.size
+    assert stats["counts"] == [total - fg, fg]
+    assert stats["ignored"] == 0
+    w = stats["weights"]
+    assert w[1] > w[0] > 0  # tumor is the rare class
+    assert abs((w[0] + w[1]) / 2 - 1.0) < 1e-3  # normalized to mean 1
+    # inverse-frequency up to the shared normalizer
+    assert w[1] / w[0] == pytest.approx(stats["counts"][0] /
+                                        stats["counts"][1], rel=1e-3)
+
+
+def test_class_stats_index_masks_and_ignore(tmp_path):
+    """Index-format masks: per-class counts, 255 pixels land in 'ignored',
+    and a zero-pixel class yields weight None + a console warning."""
+    from stf_unet_tpu.cli.doctor import class_pixel_stats
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+    root = str(tmp_path / "breadm")
+    make_synthetic_breadm(root, size=40, time_steps=2, mask_classes=3)
+    seq = ("VIBRANT+C1", "VIBRANT+C2")
+
+    # paint one mask corner with the 255 ignore label
+    index = DatasetIndex(root=root, mode="train", sequence_types=seq)
+    m = np.asarray(Image.open(index.records[0].mask_path).convert("L"))
+    m = m.copy()
+    m[:4, :4] = 255
+    Image.fromarray(m).save(index.records[0].mask_path)
+
+    stats = class_pixel_stats(root, "train", seq, mask_format="index",
+                              num_classes=3)
+    assert len(stats["counts"]) == 4
+    assert all(c > 0 for c in stats["counts"])  # concentric bands: 0..3
+    assert stats["ignored"] == 16
+    assert sum(stats["counts"]) + 16 == len(index.records) * 40 * 40
+
+    # declaring more classes than the masks hold -> empty class, no weight
+    stats5 = class_pixel_stats(root, "train", seq, mask_format="index",
+                               num_classes=5)
+    assert stats5["counts"][4] == stats5["counts"][5] == 0
+    assert stats5["weights"][4] is None and stats5["weights"][5] is None
+
+
+def test_class_stats_cli(tree, capsys):
+    rc = main(["--data-path", tree, "--splits", "train,val",
+               "--class-stats"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "class pixels: class 0:" in out
+    # the weight suggestion comes from the train split only
+    assert out.count("suggested inverse-frequency --loss-class-weights") == 1
+
+    rc = main(["--data-path", tree, "--splits", "train", "--class-stats",
+               "--json"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep[0]["class_stats"]["counts"][0] > 0

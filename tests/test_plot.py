@@ -146,9 +146,34 @@ def test_patient_report_render(tmp_path):
     assert out == [str(tmp_path / "patient_report.png")]
     assert (tmp_path / "patient_report.png").stat().st_size > 2000
 
-    # a json without 'patients' is rejected with a clear message
+    # a json that is neither report artifact is rejected with a clear
+    # message ('rows' without 'roc_auc' is not a sweep either)
     bad = tmp_path / "other.json"
     bad.write_text(json.dumps({"rows": []}))
     import pytest
     with pytest.raises(SystemExit):
         plot_run([str(bad)])
+
+
+def test_threshold_sweep_render(tmp_path):
+    """stf-plot renders a cli/test threshold_sweep.json to operating-point
+    curves (dice/IoU + precision/recall vs threshold)."""
+    pytest.importorskip("matplotlib")
+    import numpy as np
+
+    from stf_unet_tpu.cli.plot import run as plot_run
+    from stf_unet_tpu.metrics.binary import ThresholdSweep
+
+    # a real report (not a hand-rolled dict) so the render stays pinned to
+    # ThresholdSweep.report()'s actual schema
+    rng = np.random.default_rng(0)
+    target = (rng.random((64, 64)) < 0.3).astype(np.uint8)
+    prob = np.clip(target * 0.7 + rng.random((64, 64)) * 0.4, 0, 1)
+    sweep = ThresholdSweep()
+    sweep.update(prob, target)
+    src = tmp_path / "threshold_sweep.json"
+    src.write_text(json.dumps(sweep.report()))
+
+    out = plot_run([str(src)])
+    assert out == [str(tmp_path / "threshold_sweep.png")]
+    assert (tmp_path / "threshold_sweep.png").stat().st_size > 2000
