@@ -261,12 +261,17 @@ def class_pixel_stats(root: str, mode: str, sequence_types: Sequence[str],
     n = num_classes + 1
     counts = np.zeros(n, np.int64)
     ignored = 0
+    skipped = 0
     for rec in index.records:
         try:
             with Image.open(rec.mask_path) as im:
                 m = np.asarray(im.convert("L"))
         except Exception:
-            continue  # damaged masks are reported by check_split
+            # Damaged masks are diagnosed in detail by check_split --decode;
+            # here the count is surfaced so --class-stats without --decode
+            # never silently reports frequencies over a partial mask set.
+            skipped += 1
+            continue
         m = m.reshape(-1)
         if mask_format == "binary":
             m = m // 255
@@ -288,6 +293,7 @@ def class_pixel_stats(root: str, mode: str, sequence_types: Sequence[str],
     inv[nonzero] = 1.0 / counts[nonzero]
     inv *= nonzero.sum() / inv.sum()
     return {"counts": [int(c) for c in counts], "ignored": ignored,
+            "skipped": skipped,
             "weights": [round(float(w), 4) if z else None
                         for w, z in zip(inv, nonzero)]}
 
@@ -300,15 +306,27 @@ def format_class_stats(mode: str, stats: Dict) -> List[str]:
     lines = [f"  class pixels: {pct}"
              + (f" (+{stats['ignored']} ignore-255)"
                 if stats["ignored"] else "")]
-    if any(w is None for w in stats["weights"]):
+    if stats.get("skipped"):
+        lines.append(f"  warning: {stats['skipped']} masks failed to decode "
+                     "and are EXCLUDED from these stats — run --decode for "
+                     "per-file diagnostics")
+    has_empty = any(w is None for w in stats["weights"])
+    if has_empty:
         empty = [i for i, w in enumerate(stats["weights"]) if w is None]
         lines.append(f"  classes with ZERO pixels: {empty} — check "
                      "--num-classes / --mask-format before weighting")
     if mode == "train":
-        ws = ",".join("0" if w is None else f"{w:g}"
-                      for w in stats["weights"])
-        lines.append("  suggested inverse-frequency "
-                     f"--loss-class-weights {ws}")
+        if has_empty:
+            # No copy-pasteable vector with hard zeros: a class absent from
+            # train but present in val/test would get its CE contribution
+            # zeroed entirely if the user pasted a 0 weight.
+            lines.append("  no --loss-class-weights suggestion: zero-pixel "
+                         "classes make inverse-frequency weights undefined "
+                         "(a 0 weight would silence that class's loss)")
+        else:
+            ws = ",".join(f"{w:g}" for w in stats["weights"])
+            lines.append("  suggested inverse-frequency "
+                         f"--loss-class-weights {ws}")
     return lines
 
 

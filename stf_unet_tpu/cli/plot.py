@@ -253,6 +253,10 @@ def render_threshold_sweep(report: Dict, out_png: str,
     import matplotlib.pyplot as plt
 
     rows = report["rows"]
+    if not rows:
+        raise SystemExit(
+            "threshold_sweep report has an empty 'rows' list — nothing to "
+            "plot (did the sweep see any samples?)")
     th = [r["threshold"] for r in rows]
     best = report.get("best") or max(rows, key=lambda r: r["dice"])
 

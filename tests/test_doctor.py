@@ -263,3 +263,35 @@ def test_class_stats_cli(tree, capsys):
                "--json"])
     rep = json.loads(capsys.readouterr().out)
     assert rep[0]["class_stats"]["counts"][0] > 0
+
+
+def test_class_stats_counts_undecodable_masks(tree, capsys):
+    """Masks that fail to decode are counted and surfaced in the printout
+    (ADVICE r3: --class-stats without --decode must not silently compute
+    frequencies over a partial mask set)."""
+    from stf_unet_tpu.cli.doctor import class_pixel_stats, format_class_stats
+
+    index = DatasetIndex(root=tree, mode="train", sequence_types=SEQ)
+    with open(index.records[0].mask_path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+    stats = class_pixel_stats(tree, "train", SEQ)
+    assert stats["skipped"] == 1
+    lines = "\n".join(format_class_stats("train", stats))
+    assert "1 masks failed to decode" in lines
+
+
+def test_class_stats_zero_class_suppresses_weight_suggestion(tmp_path):
+    """With a zero-pixel class the copy-pasteable --loss-class-weights line
+    is suppressed (a pasted 0 weight would silence that class's CE loss if
+    it appears in val/test) — ADVICE r3."""
+    from stf_unet_tpu.cli.doctor import class_pixel_stats, format_class_stats
+    from stf_unet_tpu.data.synthetic import make_synthetic_breadm
+
+    root = str(tmp_path / "breadm")
+    make_synthetic_breadm(root, size=40, time_steps=2, mask_classes=3)
+    seq = ("VIBRANT+C1", "VIBRANT+C2")
+    stats = class_pixel_stats(root, "train", seq, mask_format="index",
+                              num_classes=5)  # classes 4,5 empty
+    lines = "\n".join(format_class_stats("train", stats))
+    assert "no --loss-class-weights suggestion" in lines
+    assert "suggested inverse-frequency" not in lines

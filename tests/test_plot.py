@@ -177,3 +177,16 @@ def test_threshold_sweep_render(tmp_path):
     out = plot_run([str(src)])
     assert out == [str(tmp_path / "threshold_sweep.png")]
     assert (tmp_path / "threshold_sweep.png").stat().st_size > 2000
+
+
+def test_threshold_sweep_empty_rows_clean_error(tmp_path):
+    """A sweep artifact with 'rows': [] (plus the roc_auc key that passes
+    the dispatcher check) exits with a clean message instead of an
+    uncaught ValueError from max() (ADVICE r3)."""
+    pytest.importorskip("matplotlib")
+    from stf_unet_tpu.cli.plot import run as plot_run
+
+    src = tmp_path / "threshold_sweep.json"
+    src.write_text(json.dumps({"rows": [], "roc_auc": 0.5, "pr_auc": 0.5}))
+    with pytest.raises(SystemExit, match="empty 'rows'"):
+        plot_run([str(src)])
