@@ -302,11 +302,19 @@ def main(cfg: TrainConfig) -> dict:
                 f"--loss-class-weights needs {num_classes} values "
                 f"(total classes incl. background), got {len(loss_weight)}")
         print(f"class-weighted CE: {loss_weight}")
+    # Rotation-probability split: single-device only (the bucket scatter
+    # would cross shards under a mesh) — see DataConfig.rotation_split.
+    rotation_split = (cfg.data.rotation_split and mesh is None
+                      and augment.can_rotation_split)
+    if rotation_split:
+        print("rotation-split augmentation: unrotated samples take the "
+              "separable resample path")
     train_step = make_train_step(model, optim, display_schedule, num_classes,
                                  augment=augment,
                                  ema_decay=cfg.optim.ema_decay,
                                  ema_every_k=k,
-                                 loss_weight=loss_weight)
+                                 loss_weight=loss_weight,
+                                 rotation_split=rotation_split)
     cfg_json = config_lib.config_to_json(cfg)
     start_time = time.time()
     # SIGTERM/first-SIGINT (or --stop-after-steps) stop the run at the
@@ -357,14 +365,18 @@ def main(cfg: TrainConfig) -> dict:
                         mesh=mesh, print_freq=cfg.print_freq,
                         device_prefetch=cfg.data.device_prefetch,
                         start_step=start_step,
-                        should_stop=guard.should_stop)
+                        should_stop=guard.should_stop,
+                        rotation_split_augment=(augment if rotation_split
+                                                else None))
             else:
                 state, mean_loss, lr, steps_done = train_one_epoch(
                     state, train_step, loader, None, key, epoch, mesh=mesh,
                     print_freq=cfg.print_freq,
                     device_prefetch=cfg.data.device_prefetch,
                     start_step=start_step,
-                    should_stop=guard.should_stop)
+                    should_stop=guard.should_stop,
+                    rotation_split_augment=(augment if rotation_split
+                                            else None))
 
             if guard.triggered:
                 # Coordinated stop mid-epoch (every host broke at the same

@@ -76,6 +76,15 @@ class DataConfig:
     # the reference re-rolls the random transform per temporal frame; we use
     # one shared draw across all T frames of a sample (see SURVEY.md §7).
     shared_frame_augmentation: bool = True
+    # Rotation-probability split (single-device fused train step only):
+    # p(rotate)=0.5 (ref:transforms.py:137-157) means half of every batch
+    # needs no per-pixel warp — those samples take a separable 2-pass slice
+    # gather while the rotated bucket takes the general warp. Identical
+    # augmentation distribution (the same threefry draw decides, replayed
+    # on the host); unrotated samples differ from the single-program path
+    # only in float association order (≤1 ulp at uint8 scale). Disable to
+    # force every sample through the single fused-warp program.
+    rotation_split: bool = True
 
     @property
     def resolved_sequence_types(self) -> Sequence[str]:

@@ -114,8 +114,14 @@ def normalize(img: jax.Array, mean: float, std: float) -> jax.Array:
 def _sample_params(key: jax.Array, cfg_min_size: int, cfg_max_size: int,
                    hflip_prob: float, vflip_prob: float, rotate_prob: float,
                    rotate_deg: float, crop: int, src_h: jax.Array,
-                   src_w: jax.Array):
-    """Draw one sample's augmentation parameters (all scalars)."""
+                   src_w: jax.Array, force_rot: Optional[bool] = None):
+    """Draw one sample's augmentation parameters (all scalars).
+
+    force_rot (static) overrides the Bernoulli rotate decision WITHOUT
+    changing any subkey consumption — the rotation-split path
+    (rotation_split_apply) decides membership on the host from the SAME
+    k[3] draw and then forces the branch it routed each sample to, so the
+    per-sample draws stay identical to the single-program path."""
     k = jax.random.split(key, 6)
     # RandomResize: short edge -> r in [min, max] (ref:transforms.py:18-32).
     r = jax.random.randint(k[0], (), cfg_min_size, cfg_max_size + 1)
@@ -127,6 +133,8 @@ def _sample_params(key: jax.Array, cfg_min_size: int, cfg_max_size: int,
     hflip = jax.random.uniform(k[1], ()) < hflip_prob
     vflip = jax.random.uniform(k[2], ()) < vflip_prob
     do_rot = jax.random.uniform(k[3], ()) < rotate_prob
+    if force_rot is not None:
+        do_rot = jnp.bool_(force_rot)
     angle = jnp.where(
         do_rot,
         jax.random.uniform(k[4], (), minval=-rotate_deg, maxval=rotate_deg),
@@ -296,6 +304,59 @@ def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
     return bil, near
 
 
+def _separable_axis_aligned(chans: jax.Array, mask: jax.Array,
+                            gy: jax.Array, gx: jax.Array,
+                            valid_h: jax.Array, valid_w: jax.Array):
+    """Axis-aligned counterpart of _warp_bilinear_and_nearest: when the
+    affine has NO rotation, gy depends only on the output row and gx only
+    on the output column, so the bilinear warp factors into a vertical
+    2-tap row-slice gather followed by a horizontal 2-tap column-slice
+    gather — slice gathers vectorize on TPU where the per-pixel point
+    gathers of the general warp are per-index-bound
+    (tools/perf_row_shift.py: 3.5 ms/pass vs ~17 ms for the point-gather
+    warp at [B16,T8] 256²→224²).
+
+    chans [C, H, W] in any dtype holding 0..255 exactly, mask [H, W];
+    gy [Ho], gx [Wo] float source coords. Out-of-valid taps contribute 0,
+    exactly like the fused warp: its per-tap validity in_y&in_x equals the
+    product of the separable passes' row/column validities. Returns
+    (bilinear chans f32 [C, Ho, Wo], nearest mask f32 [Ho, Wo])."""
+    h, w = chans.shape[-2], chans.shape[-1]
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = (gy - y0).astype(jnp.float32)
+    wx = (gx - x0).astype(jnp.float32)
+
+    def row_tap(yy):
+        inside = (yy >= 0) & (yy <= valid_h - 1)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        vals = chans[:, yc, :].astype(jnp.float32)  # [C, Ho, W]
+        return vals * inside.astype(jnp.float32)[None, :, None]
+
+    vert = (row_tap(y0) * (1 - wy)[None, :, None]
+            + row_tap(y0 + 1) * wy[None, :, None])
+
+    def col_tap(xx):
+        inside = (xx >= 0) & (xx <= valid_w - 1)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        return vert[:, :, xc] * inside.astype(jnp.float32)[None, None, :]
+
+    bil = (col_tap(x0) * (1 - wx)[None, None, :]
+           + col_tap(x0 + 1) * wx[None, None, :])
+
+    # Nearest mask: mask[round(gy), round(gx)], 0 outside the valid region
+    # (same banker's rounding as the fused warp's tap selection).
+    ry = jnp.round(gy)
+    rx = jnp.round(gx)
+    in_y = (ry >= 0) & (ry <= valid_h - 1)
+    in_x = (rx >= 0) & (rx <= valid_w - 1)
+    m_rows = mask[jnp.clip(ry, 0, h - 1).astype(jnp.int32), :]
+    m_rows = jnp.where(in_y[:, None], m_rows.astype(jnp.float32), 0.0)
+    near = m_rows[:, jnp.clip(rx, 0, w - 1).astype(jnp.int32)]
+    near = jnp.where(in_x[None, :], near, 0.0)
+    return bil, near
+
+
 def _elastic_offsets(key: jax.Array, crop: int, alpha: float, grid: int,
                      prob: float) -> Tuple[jax.Array, jax.Array]:
     """Per-sample elastic displacement field (dy, dx) [crop, crop] in
@@ -355,6 +416,7 @@ class TrainAugment:
                   "per-frame re-roll quirk mode")
             self.elastic = False
         self.extended = self.photometric or self.elastic
+        self._flags_cache: dict = {}  # bsz -> jitted host rotate-flag fn
 
     @functools.partial(jax.jit, static_argnums=0)
     def __call__(self, key: jax.Array, frames: jax.Array, masks: jax.Array,
@@ -450,6 +512,178 @@ class TrainAugment:
                 keys, frames, masks, sizes)
         else:
             images, targets = jax.vmap(one)(keys, frames, masks, sizes, pk)
+        return images[..., None], targets
+
+    # ------------------------------------------------------------------
+    # Rotation-probability split (p(rotate)=0.5, ref:transforms.py:137-157:
+    # HALF of all samples need no per-pixel warp — an axis-aligned
+    # resize+flip+crop is a separable 2-pass slice gather). The batch is
+    # routed on the HOST into a full-size separable program plus a
+    # fixed-bucket warp program for the rotated samples; both fuse into
+    # the train step. Membership comes from replaying the SAME threefry
+    # k[3] draw on the CPU backend (threefry is backend-deterministic), so
+    # the augmentation distribution is unchanged.
+    # ------------------------------------------------------------------
+
+    @property
+    def can_rotation_split(self) -> bool:
+        """Split mode needs the shared-frame draw (the quirk mode re-rolls
+        per frame), no elastic field (per-pixel offsets defeat
+        separability), and a rotate probability strictly inside (0, 1)."""
+        return (self.cfg.shared_frame_augmentation and not self.elastic
+                and 0.0 < self.cfg.rotate_prob < 1.0)
+
+    @staticmethod
+    def rotation_bucket_sizes(bsz: int) -> Tuple[int, ...]:
+        """Static bucket ladder for the warp sub-batch: quartile sizes →
+        at most 4 compiled variants of the fused step per batch size."""
+        import math
+        return tuple(sorted({max(1, math.ceil(bsz * q))
+                             for q in (0.25, 0.5, 0.75, 1.0)}))
+
+    def _host_flags_fn(self, bsz: int):
+        """One CPU-jitted program per batch size covering the WHOLE
+        per-step derivation (augment_key fold-ins + per-sample k[3]
+        Bernoulli): eager per-op dispatch on this 1-core host costs
+        ~30 ms/step, a single jitted call ~0.1 ms."""
+        fn = self._flags_cache.get(bsz)
+        if fn is None:
+            from stf_unet_tpu.core.prng import augment_key
+            extended = self.extended
+            p = self.cfg.rotate_prob
+
+            def flags_fn(root, epoch, step):
+                keys = jax.random.split(augment_key(root, epoch, step), bsz)
+
+                def flag(k):
+                    if extended:
+                        k = jax.random.split(k, 3)[0]
+                    k6 = jax.random.split(k, 6)
+                    # the EXACT k[3] Bernoulli _sample_params draws
+                    return jax.random.uniform(k6[3], ()) < p
+
+                return jax.vmap(flag)(keys)
+
+            fn = jax.jit(flags_fn)
+            self._flags_cache[bsz] = fn
+        return fn
+
+    def rotation_bucket(self, root_cpu: jax.Array, epoch: int, step: int,
+                        bsz: int) -> np.ndarray:
+        """Host-side routing for one batch: replay the rotate draws for
+        augment_key(root, epoch, step) and return the padded int32 index
+        bucket of rotated samples (pad value = bsz, dropped by the scatter
+        and clamped by the gather). `root_cpu` MUST be committed to a CPU
+        device so the replay never enqueues onto (and syncs with) the
+        accelerator stream; threefry is backend-deterministic, so the CPU
+        flags equal the device program's own k[3] draws bit-for-bit."""
+        flags = np.asarray(self._host_flags_fn(bsz)(root_cpu, epoch, step))
+        idx = np.nonzero(flags)[0]
+        size = bsz
+        for s in self.rotation_bucket_sizes(bsz):
+            if s >= len(idx):
+                size = s
+                break
+        out = np.full((size,), bsz, np.int32)
+        out[:len(idx)] = idx
+        return out
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def rotation_split_apply(self, key: jax.Array, frames: jax.Array,
+                             masks: jax.Array, sizes: jax.Array,
+                             rot_idx: jax.Array,
+                             pk: Optional[jax.Array] = None
+                             ) -> Tuple[jax.Array, jax.Array]:
+        """Split-mode augmentation: the separable axis-aligned program runs
+        on ALL samples (cheap slice gathers); the per-pixel warp runs only
+        on the `rot_idx` bucket and its outputs overwrite the separable
+        ones. Bit-parity with __call__: rotated samples take the identical
+        warp code path with identical draws; unrotated samples compute the
+        same bilinear sum in a different association order (≤1 ulp at
+        uint8 scale — tests/test_data.py pins the tolerance)."""
+        bsz = frames.shape[0]
+        crop = self.crop
+        keys = jax.random.split(key, bsz)
+        td = _tap_dtype()
+
+        def split_keys(k):
+            if self.extended:  # elastic is off in split mode (can_rotation_split)
+                k, _k_el, k_ph = jax.random.split(k, 3)
+            else:
+                k_ph = None
+            return k, k_ph
+
+        def draw_params(k, src_h, src_w, force_rot):
+            return _sample_params(
+                k, self.min_size, self.max_size, self.cfg.hflip_prob,
+                self.cfg.vflip_prob, self.cfg.rotate_prob,
+                self.cfg.rotate_degrees, crop, src_h, src_w,
+                force_rot=force_rot)
+
+        def finish(warped_all, near, n_frames, k_ph, has_pk):
+            warped = warped_all[:n_frames] / 255.0
+            if self.photometric:
+                warped = _photometric(k_ph, warped, self.cfg)
+            warped = (warped - self.cfg.mean) / self.cfg.std
+            if has_pk:
+                pk_w = warped_all[n_frames:] / 255.0
+                pk_w = (pk_w - self.cfg.mean) / self.cfg.std
+                warped = jnp.concatenate([warped, pk_w], axis=0)
+            return warped, near.astype(jnp.int32)
+
+        def sep_one(k, frames_i, mask_i, size_i, pk_i):
+            k, k_ph = split_keys(k)
+            src_h = size_i[0].astype(jnp.float32)
+            src_w = size_i[1].astype(jnp.float32)
+            compose = _build_affine(*draw_params(k, src_h, src_w,
+                                                 force_rot=False))
+            line = jnp.arange(crop, dtype=jnp.float32)
+            zero = jnp.zeros((crop,), jnp.float32)
+            gy, _ = compose(line, zero)  # row coord: no column dependence
+            _, gx = compose(zero, line)  # col coord: no row dependence
+            raw = (frames_i if pk_i is None
+                   else jnp.concatenate([frames_i, pk_i], axis=0))
+            bil, near = _separable_axis_aligned(raw.astype(td), mask_i,
+                                                gy, gx, src_h, src_w)
+            return finish(bil, near, frames_i.shape[0], k_ph,
+                          pk_i is not None)
+
+        grid_y, grid_x = jnp.meshgrid(
+            jnp.arange(crop, dtype=jnp.float32),
+            jnp.arange(crop, dtype=jnp.float32), indexing="ij")
+
+        def warp_one(k, frames_i, mask_i, size_i, pk_i):
+            k, k_ph = split_keys(k)
+            src_h = size_i[0].astype(jnp.float32)
+            src_w = size_i[1].astype(jnp.float32)
+            gy, gx = _build_affine(*draw_params(k, src_h, src_w,
+                                                force_rot=True))(
+                grid_y, grid_x)
+            raw = (frames_i if pk_i is None
+                   else jnp.concatenate([frames_i, pk_i], axis=0))
+            warped_all, near = _warp_bilinear_and_nearest(
+                raw.astype(td), mask_i.astype(td), gy, gx, src_h, src_w)
+            return finish(warped_all, near, frames_i.shape[0], k_ph,
+                          pk_i is not None)
+
+        # rot_idx pads with bsz: the gathers clamp (recomputing the last
+        # sample, discarded) and the scatters drop.
+        if pk is None:
+            sep_im, sep_tg = jax.vmap(
+                lambda k, f, m, s: sep_one(k, f, m, s, None))(
+                keys, frames, masks, sizes)
+            rot_im, rot_tg = jax.vmap(
+                lambda k, f, m, s: warp_one(k, f, m, s, None))(
+                keys[rot_idx], frames[rot_idx], masks[rot_idx],
+                sizes[rot_idx])
+        else:
+            sep_im, sep_tg = jax.vmap(sep_one)(keys, frames, masks, sizes,
+                                               pk)
+            rot_im, rot_tg = jax.vmap(warp_one)(
+                keys[rot_idx], frames[rot_idx], masks[rot_idx],
+                sizes[rot_idx], pk[rot_idx])
+        images = sep_im.at[rot_idx].set(rot_im, mode="drop")
+        targets = sep_tg.at[rot_idx].set(rot_tg, mode="drop")
         return images[..., None], targets
 
 

@@ -35,7 +35,8 @@ def make_train_step(model, optim, schedule, num_classes: int,
                     augment: Optional[TrainAugment] = None,
                     ema_decay: float = 0.0,
                     ema_every_k: int = 1,
-                    loss_weight=None) -> Callable:
+                    loss_weight=None,
+                    rotation_split: bool = False) -> Callable:
     """Build the jitted train step. State is donated (in-place update in HBM).
 
     With `augment` the device-side augmentation fuses INTO the same compiled
@@ -97,6 +98,22 @@ def make_train_step(model, optim, schedule, num_classes: int,
             return update(state, images, targets)
         return train_step
 
+    if rotation_split:
+        if not augment.can_rotation_split:
+            raise ValueError(
+                "rotation_split=True needs shared-frame augmentation, no "
+                "elastic field, and 0 < rotate_prob < 1 "
+                "(TrainAugment.can_rotation_split)")
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def fused_split_step(state: TrainState, key, frames, masks, sizes,
+                             rot_idx, pk=None):
+            images, targets = augment.rotation_split_apply(
+                key, frames, masks, sizes, rot_idx, pk)
+            return update(state, images, targets)
+
+        return fused_split_step
+
     @functools.partial(jax.jit, donate_argnums=0)
     def fused_train_step(state: TrainState, key, frames, masks, sizes,
                          pk=None):
@@ -127,7 +144,8 @@ def train_one_epoch(state: TrainState, train_step: Callable,
                     mesh=None, print_freq: int = 10,
                     device_prefetch: int = 2,
                     start_step: int = 0,
-                    should_stop: Optional[Callable[[], bool]] = None
+                    should_stop: Optional[Callable[[], bool]] = None,
+                    rotation_split_augment: Optional[TrainAugment] = None
                     ) -> Tuple[TrainState, float, float, int]:
     """One epoch (ref:train_and_eval.py:377-411). Returns
     (state, mean loss, last lr, steps completed in this epoch).
@@ -142,11 +160,24 @@ def train_one_epoch(state: TrainState, train_step: Callable,
     and the per-step PRNG keys continue from that index — identical to
     never having been interrupted. should_stop (train/preempt.py) is
     polled after every completed step; abandoning the loop cancels the
-    prefetch threads (prefetch_iterator's finally)."""
+    prefetch threads (prefetch_iterator's finally).
+
+    rotation_split_augment: pass the TrainAugment when `train_step` was
+    built with rotation_split=True — each step then routes the batch on
+    the host (TrainAugment.rotation_bucket on a CPU-committed key, so no
+    device sync) and calls train_step(state, key, frames, masks, sizes,
+    rot_idx, pk). Single-device path only (the scatter would cross
+    shards under a mesh)."""
     logger = MetricLogger(delimiter="  ")
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
     step_in_epoch = start_step
+    root_cpu = None
+    if rotation_split_augment is not None:
+        if mesh is not None:
+            raise ValueError("rotation_split_augment is single-device only "
+                             "(the bucket scatter would cross mesh shards)")
+        root_cpu = jax.device_put(root_key, jax.devices("cpu")[0])
     pending = None  # one-step-delayed (loss, lr) fetch: materializing a
     # device value synchronizes the host with the chip, so fetch the
     # PREVIOUS step's scalars while the current step computes.
@@ -158,7 +189,12 @@ def train_one_epoch(state: TrainState, train_step: Callable,
             device_iter, print_freq, header,
             total=len(loader) - start_step):
         key = augment_key(root_key, epoch, step_in_epoch)
-        if augment is None:
+        if rotation_split_augment is not None:
+            rot_idx = rotation_split_augment.rotation_bucket(
+                root_cpu, epoch, step_in_epoch, frames.shape[0])
+            state, loss, lr = train_step(state, key, frames, masks, sizes,
+                                         rot_idx, pk)
+        elif augment is None:
             state, loss, lr = train_step(state, key, frames, masks, sizes, pk)
         else:
             images, targets = augment(key, frames, masks, sizes, pk)

@@ -652,3 +652,138 @@ def test_affine_warp_rotation_property_sweep_vs_pil():
         assert err <= (1.0 / 255.0) * 1.5, (
             f"trial {trial}: size={size} crop={crop} angle={angle:.2f} "
             f"off=({y0},{x0}) max err {err * 255:.2f} levels")
+
+
+# ---------------------------------------------------------------------------
+# Rotation-probability split (DataConfig.rotation_split)
+# ---------------------------------------------------------------------------
+
+def _split_batch(b=6, t=3, s=80):
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (b, t, s, s)), jnp.uint8)
+    masks = jnp.asarray(rng.integers(0, 2, (b, s, s)), jnp.uint8)
+    sizes = jnp.asarray(np.stack([np.full(b, s - 8), np.full(b, s - 16)], 1),
+                        jnp.int32)
+    return frames, masks, sizes
+
+
+def test_rotation_split_matches_single_program():
+    """rotation_split_apply == __call__ for the same key: rotated samples
+    take the identical warp path (bit-equal); unrotated samples compute the
+    same bilinear sum separably (float association only); masks exact."""
+    from stf_unet_tpu.core.prng import augment_key
+
+    cfg = DataConfig(base_size=64, crop_size=48)
+    aug = TrainAugment(cfg)
+    frames, masks, sizes = _split_batch()
+    b = frames.shape[0]
+    root = jax.random.key(3)
+    for step in range(4):  # several buckets incl. different ladder sizes
+        key = augment_key(root, 0, step)
+        img1, tgt1 = aug(key, frames, masks, sizes)
+        rot_idx = aug.rotation_bucket(root, 0, step, b)
+        img2, tgt2 = aug.rotation_split_apply(key, frames, masks, sizes,
+                                              jnp.asarray(rot_idx))
+        np.testing.assert_array_equal(np.asarray(tgt1), np.asarray(tgt2))
+        np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                                   atol=1e-5)
+        rot = set(int(i) for i in rot_idx if i < b)
+        for i in rot:  # the warp bucket is the SAME program: bit-equal
+            np.testing.assert_array_equal(np.asarray(img1[i]),
+                                          np.asarray(img2[i]))
+
+
+def test_rotation_split_with_pk_maps():
+    from stf_unet_tpu.core.prng import augment_key
+
+    cfg = DataConfig(base_size=64, crop_size=48)
+    aug = TrainAugment(cfg)
+    frames, masks, sizes = _split_batch()
+    b = frames.shape[0]
+    rng = np.random.default_rng(7)
+    pk = jnp.asarray(rng.integers(0, 255, (b, 3, 80, 80)), jnp.uint8)
+    root = jax.random.key(5)
+    key = augment_key(root, 1, 0)
+    img1, tgt1 = aug(key, frames, masks, sizes, pk)
+    rot_idx = jnp.asarray(aug.rotation_bucket(root, 1, 0, b))
+    img2, tgt2 = aug.rotation_split_apply(key, frames, masks, sizes,
+                                          rot_idx, pk)
+    assert img1.shape == img2.shape == (b, 6, 48, 48, 1)
+    np.testing.assert_array_equal(np.asarray(tgt1), np.asarray(tgt2))
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+
+
+def test_rotation_bucket_flags_match_device_draws():
+    """The host replay (rotation_bucket) selects EXACTLY the samples whose
+    in-program k[3] Bernoulli fires — membership and draws come from the
+    same threefry stream."""
+    from stf_unet_tpu.core.prng import augment_key
+    from stf_unet_tpu.data.transforms import _sample_params
+
+    cfg = DataConfig(base_size=64, crop_size=48)
+    aug = TrainAugment(cfg)
+    root = jax.random.key(11)
+    for step in range(5):
+        key = augment_key(root, 2, step)
+        keys = jax.random.split(key, 16)
+        # the device program's own do_rot draw (angle != 0 iff rotated;
+        # a drawn angle of exactly 0.0 has measure zero)
+        angles = [
+            float(_sample_params(k, 32, 76, 0.5, 0.5, cfg.rotate_prob,
+                                 30.0, 48, jnp.float32(64.0),
+                                 jnp.float32(64.0))[5])
+            for k in keys
+        ]
+        device_rot = {i for i, a in enumerate(angles) if a != 0.0}
+        idx = aug.rotation_bucket(root, 2, step, 16)
+        host_rot = {int(i) for i in idx if i < 16}
+        assert host_rot == device_rot
+
+
+def test_rotation_bucket_ladder_and_padding():
+    aug = TrainAugment(DataConfig())
+    assert aug.rotation_bucket_sizes(16) == (4, 8, 12, 16)
+    root = jax.random.key(0)
+    for step in range(8):
+        idx = aug.rotation_bucket(root, 0, step, 16)
+        assert len(idx) in (4, 8, 12, 16)
+        real = idx[idx < 16]
+        pads = idx[idx >= 16]
+        assert (pads == 16).all()
+        assert len(np.unique(real)) == len(real)
+        assert (np.sort(real) == real).all()
+
+
+def test_rotation_split_eligibility():
+    from stf_unet_tpu.train.loop import make_train_step
+
+    assert TrainAugment(DataConfig()).can_rotation_split
+    assert not TrainAugment(
+        DataConfig(shared_frame_augmentation=False)).can_rotation_split
+    assert not TrainAugment(DataConfig(elastic_alpha=2.0)).can_rotation_split
+    assert not TrainAugment(DataConfig(rotate_prob=1.0)).can_rotation_split
+    assert not TrainAugment(DataConfig(rotate_prob=0.0)).can_rotation_split
+    with pytest.raises(ValueError, match="rotation_split"):
+        make_train_step(None, None, None, 2,
+                        augment=TrainAugment(DataConfig(rotate_prob=1.0)),
+                        rotation_split=True)
+
+
+def test_rotation_split_photometric_mode():
+    """Photometric jitter (extended mode without elastic) still splits; the
+    k_ph stream consumption matches the single program."""
+    from stf_unet_tpu.core.prng import augment_key
+
+    cfg = DataConfig(base_size=64, crop_size=48, brightness=0.2,
+                     contrast=0.1)
+    aug = TrainAugment(cfg)
+    assert aug.can_rotation_split
+    frames, masks, sizes = _split_batch()
+    b = frames.shape[0]
+    root = jax.random.key(9)
+    key = augment_key(root, 0, 1)
+    img1, tgt1 = aug(key, frames, masks, sizes)
+    rot_idx = jnp.asarray(aug.rotation_bucket(root, 0, 1, b))
+    img2, tgt2 = aug.rotation_split_apply(key, frames, masks, sizes, rot_idx)
+    np.testing.assert_array_equal(np.asarray(tgt1), np.asarray(tgt2))
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)

@@ -14,8 +14,14 @@ Rows measured (all real-chip, warm, B=16 @ 224² T=8):
   stflstm_bf16_ms                 flagship pure train step
   augment_ms                      device augmentation program alone
   fused_unet_bf16_ms              augment+train in one program
+  rotsplit_unet_bf16_ms           augment+train with the rotation-
+                                  probability split (the cli/train
+                                  single-device default)
   eval_step_raw_bf16_ms           flagship batch-1 eval step on raw uint8
                                   (device normalize + forward + metrics)
+  val_epoch_packed_ms_per_slice   full packed val epoch (eval-geometry
+                                  pack -> evaluate()) per slice, flagship
+  serve_bf16_ms / serve_int8_ms   serving forward ms/batch, flagship
   pk_lm_chunk_ms                  16384-voxel LM solver chunk
 """
 
@@ -125,6 +131,14 @@ def main():
     row["fused_unet_bf16_ms"] = round(timeit(run_fused, iters=args.iters,
                                              key_arg=True), 2)
 
+    # Rotation-probability split variant (cli/train's single-device
+    # default): unrotated samples take the separable resample path.
+    from stf_unet_tpu.utils.benchkit import (measure_fused_rotsplit,
+                                             measure_serving,
+                                             measure_val_epoch_packed)
+    row["rotsplit_unet_bf16_ms"] = round(
+        measure_fused_rotsplit(iters=max(args.iters, 20))["ms_per_step"], 2)
+
     # Flagship batch-1 eval step on raw uint8 inputs — the transfer-lean
     # val-epoch device program (device normalize + forward + confusion/dice).
     from stf_unet_tpu.train.loop import _EvalStepCache
@@ -146,6 +160,18 @@ def main():
     row["eval_step_raw_bf16_ms"] = round(timeit(
         lambda: stepper(evars, eimg, etgt, econf, ecum, ecnt),
         iters=args.iters), 2)
+
+    # Full packed val epoch (decode-free: eval-geometry pack -> evaluate),
+    # flagship, batch 1 — asserts packed==decoded metrics before timing.
+    row["val_epoch_packed_ms_per_slice"] = round(
+        measure_val_epoch_packed()["ms_per_slice"], 2)
+
+    # Serving forwards, flagship @ B16 224²: bf16 and post-training int8
+    # (gates the measured int8 win — VERDICT r3 #6).
+    row["serve_bf16_ms"] = round(
+        measure_serving(int8=False, iters=args.iters)["ms_per_batch"], 2)
+    row["serve_int8_ms"] = round(
+        measure_serving(int8=True, iters=args.iters)["ms_per_batch"], 2)
 
     from stf_unet_tpu.core.config import PKConfig
     from stf_unet_tpu.pk.aif import population_aif
