@@ -214,6 +214,32 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"baseline measurement failed: {e}", file=sys.stderr)
 
+    # BASELINE configs 3-5 extras (VERDICT r3 #2): the flagship train step,
+    # the honest end-to-end fused augment+train (rotation-split, what
+    # cli/train dispatches per step), flagship serving inference, and the
+    # packed val epoch. All ride as extra keys; the headline `value` stays
+    # the UNet f32 number for round-over-round continuity.
+    from stf_unet_tpu.utils.benchkit import (measure_fused_train,
+                                             measure_serving,
+                                             measure_train_step,
+                                             measure_val_epoch_packed)
+    extras = {}
+    try:
+        stf = measure_train_step("stflstm", amp=True, iters=ITERS)
+        extras["stflstm_train_bf16_slices_per_sec"] = stf["slices_per_sec"]
+        extras["stflstm_train_bf16_tflops"] = stf["tflops"]
+        extras["stflstm_train_bf16_mfu_pct"] = stf["mfu_pct"]
+        extras["fused_augment_train_slices_per_sec"] = (
+            measure_fused_train(iters=ITERS)["slices_per_sec"])
+        extras["flagship_infer_bf16_slices_per_sec"] = (
+            measure_serving(int8=False, iters=ITERS)["slices_per_sec"])
+        extras["flagship_infer_int8_slices_per_sec"] = (
+            measure_serving(int8=True, iters=ITERS)["slices_per_sec"])
+        extras["val_epoch_packed_slices_per_sec"] = (
+            measure_val_epoch_packed()["slices_per_sec"])
+    except Exception as e:  # extras must never kill the headline line
+        extras["extras_error"] = str(e)[-200:]
+
     ours = f32["slices_per_sec"]
     rnd = lambda v, k=2: round(v, k) if v is not None else None
     print(json.dumps({
@@ -229,6 +255,8 @@ def main() -> None:
         "f32_ms_per_step": rnd(f32["ms_per_step"], 1),
         "bf16_ms_per_step": rnd(bf16["ms_per_step"], 1),
         "bf16_mfu_pct": rnd(bf16["mfu_pct"], 1),
+        **{k: (rnd(v) if isinstance(v, float) else v)
+           for k, v in extras.items()},
     }))
 
 

@@ -51,6 +51,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    help="split for the float-vs-int8 accuracy report")
     p.add_argument("--no-eval", action="store_true",
                    help="skip the accuracy report (calibrate + save only)")
+    p.add_argument("--threshold-sweep", action="store_true",
+                   help="also sweep the foreground-probability operating "
+                        "point for BOTH forwards and report the int8 "
+                        "shift of the best threshold / best dice "
+                        "(binary models only)")
     p.add_argument("--exclude", type=str, default="",
                    help="comma-separated conv paths to keep in float "
                         "(e.g. final head paths; default: quantize all)")
@@ -140,16 +145,23 @@ def quantize(args: argparse.Namespace) -> dict:
     eval_index = DatasetIndex(args.root, args.eval_split, seq_types,
                               use_pk_maps=args.use_pk_maps)
 
+    sweep_wanted = args.threshold_sweep
+    if sweep_wanted and num_classes != 2:
+        print("note: --threshold-sweep needs a binary model (2 total "
+              "classes); skipping the operating-point shift")
+        sweep_wanted = False
+
     def batches():
         return eval_batches_from_index(eval_index, data_cfg,
                                        use_pk_maps=args.use_pk_maps,
                                        batch_size=args.batch_size)
 
     print(f"evaluating float model on '{args.eval_split}'...")
-    ref = evaluate(state, model, batches(), num_classes, data_cfg=data_cfg)
+    ref = evaluate(state, model, batches(), num_classes, data_cfg=data_cfg,
+                   collect_outputs=sweep_wanted)
     print(f"evaluating int8 model on '{args.eval_split}'...")
     q = evaluate(_VariablesState(qvars), qmodel, batches(), num_classes,
-                 data_cfg=data_cfg)
+                 data_cfg=data_cfg, collect_outputs=sweep_wanted)
 
     d_dice = q["dice"] - ref["dice"]
     d_miou = (q["mean_metrics"]["miou"] - ref["mean_metrics"]["miou"])
@@ -159,6 +171,30 @@ def quantize(args: argparse.Namespace) -> dict:
           f"int8 mIoU {q['mean_metrics']['miou']:.4f}  delta {d_miou:+.4f}")
     result.update(dice_float=ref["dice"], dice_int8=q["dice"],
                   dice_delta=d_dice, miou_delta=d_miou)
+
+    if sweep_wanted:
+        # Operating-point shift (VERDICT r3 #6): the argmax dice above is
+        # the threshold-0.5 point; quantization can MOVE the optimal
+        # threshold, which a single delta hides.
+        import numpy as np
+
+        from stf_unet_tpu.metrics.binary import ThresholdSweep
+
+        def best_point(m):
+            sweep = ThresholdSweep()
+            for logits, (_, target) in zip(m["outputs"], m["batches"]):
+                z = np.asarray(logits, np.float64)
+                prob_fg = 1.0 / (1.0 + np.exp(z[..., 0] - z[..., 1]))
+                sweep.update(prob_fg, np.asarray(target))
+            return sweep.report()["best"]
+
+        bf, bq = best_point(ref), best_point(q)
+        print(f"operating point: float best dice {bf['dice']:.4f} @ "
+              f"{bf['threshold']:.2f}  int8 best dice {bq['dice']:.4f} @ "
+              f"{bq['threshold']:.2f}  (threshold shift "
+              f"{bq['threshold'] - bf['threshold']:+.2f}, best-dice delta "
+              f"{bq['dice'] - bf['dice']:+.4f})")
+        result.update(best_float=bf, best_int8=bq)
     return result
 
 

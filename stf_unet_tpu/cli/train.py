@@ -302,8 +302,9 @@ def main(cfg: TrainConfig) -> dict:
                 f"--loss-class-weights needs {num_classes} values "
                 f"(total classes incl. background), got {len(loss_weight)}")
         print(f"class-weighted CE: {loss_weight}")
-    # Rotation-probability split: single-device only (the bucket scatter
-    # would cross shards under a mesh) — see DataConfig.rotation_split.
+    # Rotation-probability split: opt-in (--data-rotation-split true) and
+    # single-device only (the bucket combine would cross shards under a
+    # mesh) — see DataConfig.rotation_split for why it defaults off.
     rotation_split = (cfg.data.rotation_split and mesh is None
                       and augment.can_rotation_split)
     if rotation_split:

@@ -82,9 +82,14 @@ class DataConfig:
     # gather while the rotated bucket takes the general warp. Identical
     # augmentation distribution (the same threefry draw decides, replayed
     # on the host); unrotated samples differ from the single-program path
-    # only in float association order (≤1 ulp at uint8 scale). Disable to
-    # force every sample through the single fused-warp program.
-    rotation_split: bool = True
+    # only in float association order (≤1 ulp at uint8 scale).
+    # DEFAULT OFF: the split augment program alone wins (~21 vs 26.8 ms
+    # avg, r4 chip session) but the fused augment+train step LOSES on the
+    # current toolchain (≈94 vs 64.9 ms — the two-program structure defeats
+    # XLA's augment/backward overlap; PERFORMANCE.md "rotation split").
+    # The implementation stays tested and gated (perf_regression
+    # rotsplit row) so a future toolchain can flip this back on.
+    rotation_split: bool = False
 
     @property
     def resolved_sequence_types(self) -> Sequence[str]:

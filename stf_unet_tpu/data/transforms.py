@@ -667,7 +667,7 @@ class TrainAugment:
                           pk_i is not None)
 
         # rot_idx pads with bsz: the gathers clamp (recomputing the last
-        # sample, discarded) and the scatters drop.
+        # sample, discarded) and the tiny flag/pos scatters drop.
         if pk is None:
             sep_im, sep_tg = jax.vmap(
                 lambda k, f, m, s: sep_one(k, f, m, s, None))(
@@ -682,8 +682,17 @@ class TrainAugment:
             rot_im, rot_tg = jax.vmap(warp_one)(
                 keys[rot_idx], frames[rot_idx], masks[rot_idx],
                 sizes[rot_idx], pk[rot_idx])
-        images = sep_im.at[rot_idx].set(rot_im, mode="drop")
-        targets = sep_tg.at[rot_idx].set(rot_tg, mode="drop")
+        # Combine via [B]-sized flag/pos scatters + a full-tensor GATHER and
+        # select — NOT a full-tensor scatter: XLA scatter of [K,C,crop²]
+        # rows onto TPU serializes badly (measured +30 ms/step), while the
+        # gather+where pair is bandwidth-bound.
+        k_bucket = rot_idx.shape[0]
+        flag = jnp.zeros((bsz,), jnp.bool_).at[rot_idx].set(
+            True, mode="drop")
+        pos = jnp.zeros((bsz,), jnp.int32).at[rot_idx].set(
+            jnp.arange(k_bucket, dtype=jnp.int32), mode="drop")
+        images = jnp.where(flag[:, None, None, None], rot_im[pos], sep_im)
+        targets = jnp.where(flag[:, None, None], rot_tg[pos], sep_tg)
         return images[..., None], targets
 
 

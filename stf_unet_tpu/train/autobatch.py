@@ -100,7 +100,7 @@ def measure_step_memory(cfg, t_total: int, batch: int,
                            ema_decay=cfg.optim.ema_decay,
                            ema_every_k=max(int(cfg.grad_accum), 1))
     key = jax.random.key(0)
-    ma = step.lower(state, key, frames, masks, sizes,
+    ma = step.lower(state, key, 0, 0, frames, masks, sizes,
                     pk).compile().memory_analysis()
     if ma is None:
         raise RuntimeError("backend reports no memory analysis")

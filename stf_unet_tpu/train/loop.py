@@ -41,8 +41,14 @@ def make_train_step(model, optim, schedule, num_classes: int,
 
     With `augment` the device-side augmentation fuses INTO the same compiled
     program — one dispatch per step, signature
-    (state, key, frames, masks, sizes, pk) — instead of a separate
-    augmentation launch (each dispatch is a host<->chip round trip).
+    (state, root_key, epoch, step, frames, masks, sizes, [rot_idx,] pk) —
+    instead of a separate augmentation launch. The per-step PRNG derivation
+    (augment_key's fold_ins) ALSO runs inside the program: epoch/step ride
+    as traced int scalars, so the loop dispatches ZERO eager device ops per
+    step. Measured r4 on the tunneled chip: each eager op costs ~11 ms of
+    host dispatch latency, so the old eager augment_key chain (3 fold_ins)
+    taxed every real train step ~33 ms that never appeared in the
+    key-precomputed bench rows.
 
     ema_decay > 0 (with a state created via create_train_state(ema=True))
     folds the EMA weight update into the same program:
@@ -106,8 +112,9 @@ def make_train_step(model, optim, schedule, num_classes: int,
                 "(TrainAugment.can_rotation_split)")
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def fused_split_step(state: TrainState, key, frames, masks, sizes,
-                             rot_idx, pk=None):
+        def fused_split_step(state: TrainState, root_key, epoch, step_idx,
+                             frames, masks, sizes, rot_idx, pk=None):
+            key = augment_key(root_key, epoch, step_idx)
             images, targets = augment.rotation_split_apply(
                 key, frames, masks, sizes, rot_idx, pk)
             return update(state, images, targets)
@@ -115,8 +122,9 @@ def make_train_step(model, optim, schedule, num_classes: int,
         return fused_split_step
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def fused_train_step(state: TrainState, key, frames, masks, sizes,
-                         pk=None):
+    def fused_train_step(state: TrainState, root_key, epoch, step_idx,
+                         frames, masks, sizes, pk=None):
+        key = augment_key(root_key, epoch, step_idx)
         images, targets = augment(key, frames, masks, sizes, pk)
         return update(state, images, targets)
 
@@ -165,9 +173,9 @@ def train_one_epoch(state: TrainState, train_step: Callable,
     rotation_split_augment: pass the TrainAugment when `train_step` was
     built with rotation_split=True — each step then routes the batch on
     the host (TrainAugment.rotation_bucket on a CPU-committed key, so no
-    device sync) and calls train_step(state, key, frames, masks, sizes,
-    rot_idx, pk). Single-device path only (the scatter would cross
-    shards under a mesh)."""
+    device sync) and calls train_step(state, root_key, epoch, step,
+    frames, masks, sizes, rot_idx, pk). Single-device path only (the
+    bucket combine would cross shards under a mesh)."""
     logger = MetricLogger(delimiter="  ")
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
@@ -188,15 +196,21 @@ def train_one_epoch(state: TrainState, train_step: Callable,
     for frames, masks, sizes, pk in logger.log_every(
             device_iter, print_freq, header,
             total=len(loader) - start_step):
-        key = augment_key(root_key, epoch, step_in_epoch)
         if rotation_split_augment is not None:
             rot_idx = rotation_split_augment.rotation_bucket(
                 root_cpu, epoch, step_in_epoch, frames.shape[0])
-            state, loss, lr = train_step(state, key, frames, masks, sizes,
-                                         rot_idx, pk)
+            state, loss, lr = train_step(state, root_key, epoch,
+                                         step_in_epoch, frames, masks,
+                                         sizes, rot_idx, pk)
         elif augment is None:
-            state, loss, lr = train_step(state, key, frames, masks, sizes, pk)
+            # Fused step: the augment_key fold-ins run INSIDE the program
+            # (epoch/step as traced scalars) — zero eager device dispatches
+            # per step (each costs ~11 ms over the tunneled chip, r4).
+            state, loss, lr = train_step(state, root_key, epoch,
+                                         step_in_epoch, frames, masks,
+                                         sizes, pk)
         else:
+            key = augment_key(root_key, epoch, step_in_epoch)
             images, targets = augment(key, frames, masks, sizes, pk)
             state, loss, lr = train_step(state, images, targets)
         if pending is not None:
@@ -261,6 +275,29 @@ class _EvalStepCache:
         return self._fns[key](variables, image, target, conf, dice_cum, dice_count)
 
 
+# evaluate() used to build a FRESH _EvalStepCache per call, which re-traced
+# (and re-deserialized from the persistent compile cache) the eval
+# executable on EVERY val epoch — ~8 s/epoch of pure overhead on the
+# tunneled chip (measured r4). Steppers are reused across calls, keyed by
+# the model object (weakly — a freed model drops its executables) and the
+# (num_classes, mean, std) signature that changes the compiled program.
+import weakref  # noqa: E402
+
+_EVAL_STEPPERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _eval_stepper_for(model, num_classes: int, mean, std) -> _EvalStepCache:
+    try:
+        per_model = _EVAL_STEPPERS.setdefault(model, {})
+    except TypeError:  # unhashable / non-weakrefable model: no reuse
+        return _EvalStepCache(model, num_classes, mean=mean, std=std)
+    key = (num_classes, mean, std)
+    if key not in per_model:
+        per_model[key] = _EvalStepCache(model, num_classes, mean=mean,
+                                        std=std)
+    return per_model[key]
+
+
 def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
              print_freq: int = 100, collect_outputs: bool = False,
              data_cfg=None, reduce_across_processes: bool = False,
@@ -301,7 +338,7 @@ def evaluate(state: TrainState, model, eval_batches, num_classes: int, *,
         variables = mesh_lib.replicate(mesh, variables)
         conf, dice_cum, dice_count = mesh_lib.replicate(
             mesh, (conf, dice_cum, dice_count))
-    stepper = _EvalStepCache(
+    stepper = _eval_stepper_for(
         model, num_classes,
         mean=None if data_cfg is None else data_cfg.mean,
         std=None if data_cfg is None else data_cfg.std)

@@ -83,21 +83,66 @@ def measure_train_step(model_name: str, amp: bool, iters: int = 20,
     }
 
 
-def measure_fused_rotsplit(iters: int = 20,
-                           model_name: str = "unet") -> Dict[str, float]:
-    """Fused augment+train with the rotation-probability split (the honest
-    end-to-end train step a user gets from cli/train on one device):
-    raw uint8 [B,T,256,256] batches, host bucket routing, device-side
-    augmentation + update in one program. Buckets vary per step exactly as
-    in training, so the number is the DISTRIBUTION average (all ladder
-    sizes are pre-warmed)."""
+def measure_fused_train(iters: int = 20,
+                        model_name: str = "unet") -> Dict[str, float]:
+    """Fused augment+train (the honest end-to-end train step a user gets
+    from cli/train): raw uint8 [B,T,256,256] batches, device-side
+    augmentation + PRNG fold-ins + update all in ONE program — the loop
+    dispatches zero eager device ops per step."""
     import jax
     import jax.numpy as jnp
 
     from stf_unet_tpu.core.config import (DataConfig, ModelConfig,
                                           OptimConfig)
     from stf_unet_tpu.core.dtypes import make_policy
-    from stf_unet_tpu.core.prng import augment_key
+    from stf_unet_tpu.data.transforms import TrainAugment
+    from stf_unet_tpu.models.registry import create_model
+    from stf_unet_tpu.train.loop import make_train_step
+    from stf_unet_tpu.train.schedule import warmup_poly_schedule
+    from stf_unet_tpu.train.state import create_train_state, make_optimizer
+
+    policy = make_policy(True)
+    cfg = ModelConfig(model=model_name, num_classes=1, time_steps=_T)
+    model = create_model(cfg, dtype=policy.compute_dtype)
+    sched = warmup_poly_schedule(1e-3, 100, 100)
+    optim = make_optimizer(OptimConfig(), sched)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (_B, _T, _SRC, _SRC)),
+                         jnp.uint8)
+    masks = jnp.asarray(rng.integers(0, 2, (_B, _SRC, _SRC)), jnp.uint8)
+    sizes = jnp.asarray(np.full((_B, 2), _SRC), jnp.int32)
+    sample = jnp.zeros((_B, _T, _CROP, _CROP, 1), jnp.float32)
+    state = create_train_state(jax.random.key(0), cfg, optim, sample)
+    aug = TrainAugment(DataConfig(base_size=_SRC, crop_size=_CROP))
+    step = make_train_step(model, optim, sched, cfg.total_classes,
+                           augment=aug)
+    root = jax.random.key(0)
+    for i in range(3):
+        state, loss, _ = step(state, root, 0, i, frames, masks, sizes, None)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, loss, _ = step(state, root, 1, i, frames, masks, sizes, None)
+    _sync(loss)
+    step_s = (time.perf_counter() - t0) / iters
+    return {"ms_per_step": step_s * 1e3, "slices_per_sec": _B / step_s}
+
+
+def measure_fused_rotsplit(iters: int = 20,
+                           model_name: str = "unet") -> Dict[str, float]:
+    """Fused augment+train with the rotation-probability split: raw uint8
+    batches, host bucket routing, separable+warp augmentation + update in
+    one program. Buckets vary per step exactly as in training, so the
+    number is the DISTRIBUTION average (all ladder sizes are pre-warmed).
+    RETIRED as the default (DataConfig.rotation_split=False): wins in
+    isolation, loses fused — this keeps the measurement alive for future
+    toolchains."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_unet_tpu.core.config import (DataConfig, ModelConfig,
+                                          OptimConfig)
+    from stf_unet_tpu.core.dtypes import make_policy
     from stf_unet_tpu.data.transforms import TrainAugment
     from stf_unet_tpu.models.registry import create_model
     from stf_unet_tpu.train.loop import make_train_step
@@ -126,13 +171,13 @@ def measure_fused_rotsplit(iters: int = 20,
     for size in aug.rotation_bucket_sizes(_B):
         idx = np.full((size,), _B, np.int32)
         idx[: min(size, _B)] = np.arange(min(size, _B))
-        state, loss, _ = step(state, augment_key(root, 0, 0), frames, masks,
+        state, loss, _ = step(state, root, 0, 0, frames, masks,
                               sizes, jnp.asarray(idx), None)
     _sync(loss)
     t0 = time.perf_counter()
     for i in range(iters):
         rot_idx = aug.rotation_bucket(root_cpu, 0, i, _B)
-        state, loss, _ = step(state, augment_key(root, 0, i), frames, masks,
+        state, loss, _ = step(state, root, 0, i, frames, masks,
                               sizes, rot_idx, None)
     _sync(loss)
     step_s = (time.perf_counter() - t0) / iters

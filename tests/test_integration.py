@@ -320,3 +320,19 @@ def test_train_cli_empty_index_errors(tiny_root, tmp_path):
     from stf_unet_tpu.cli.train import run
     with pytest.raises(SystemExit, match="training index is empty"):
         run(_flags(tiny_root, str(tmp_path), extra=("--use-pk-maps", "true")))
+
+
+def test_train_cli_rotation_split_opt_in(tiny_root, tmp_path, capsys):
+    """--data-rotation-split true routes unrotated samples through the
+    separable resample path (opt-in; default off — loses fused on the
+    current TPU toolchain, PERFORMANCE.md r4) and still trains/evaluates
+    end to end."""
+    from stf_unet_tpu.cli.train import run
+    # --data-parallel 1: the 8-device CPU test env would otherwise build a
+    # mesh, which (correctly) disables the single-device-only split.
+    result = run(_flags(tiny_root, str(tmp_path), epochs=1,
+                        extra=("--data-rotation-split", "true",
+                               "--data-parallel", "1")))
+    out = capsys.readouterr().out
+    assert "rotation-split augmentation" in out
+    assert 0.0 <= result["test"]["dice"] <= 1.0

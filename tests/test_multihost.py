@@ -9,7 +9,13 @@ evaluate() over HOST-SHARDED eval batches with the cross-process metric
 reduction (ref:train_and_eval.py:51-57,125-132) — global confusion/dice
 must equal the single-process full-set run on both processes — and (b)
 does a coordinated save_async + both-processes restore roundtrip of the
-mesh-replicated trained state."""
+mesh-replicated trained state.
+
+Extended per VERDICT r3 next-step 5: the same 2-process children also run
+the r3-late composition — packed loader (data/pack.py) + EMA + gradient
+accumulation (optax.MultiSteps) — and its losses and final EMA/param
+checksums must match the single-process oracle; process_count>1 is its own
+bug class (the r3 orbax save deadlock was only visible there)."""
 
 import json
 import os
@@ -72,7 +78,7 @@ for s, batch in enumerate(loader.epoch(0)):
         break
     frames, masks, sizes = mesh_lib.shard_batch(
         mesh, (batch.frames, batch.masks, batch.sizes))
-    state, loss, lr = step_fn(state, augment_key(root_key, 0, s),
+    state, loss, lr = step_fn(state, root_key, 0, s,
                               frames, masks, sizes, None)
     losses.append(float(loss))
 
@@ -118,6 +124,33 @@ if pid == 1:
 stop_one = guard.should_stop()    # ...now every host must agree True
 guard.uninstall()
 
+# --- r3-late composition: packed loader + EMA + grad accumulation ------
+# (VERDICT r3 next-step 5) — the pack was built by the parent; each host
+# serves its shard from the memmap, EMA folds into the fused step, and
+# MultiSteps applies the optimizer every 2 micro-steps.
+from stf_unet_tpu.data.pack import open_split_pack
+pack = open_split_pack(root + "/pack", "train")
+loader2 = HostLoader(index, batch_size=2, shuffle=True, seed=1, prefetch=0,
+                     use_native=False, host_index=hi, num_hosts=hc,
+                     pack=pack)
+optim2 = make_optimizer(OptimConfig(), schedule, grad_accum=2)
+state2 = create_train_state(jax.random.key(0), mc, optim2, x0, ema=True)
+state2 = mesh_lib.replicate(mesh, state2)
+step2 = make_train_step(model, optim2, schedule, 2, augment=augment,
+                        ema_decay=0.5, ema_every_k=2)
+losses2 = []
+for ep in (0, 1):  # 2 batches/host/epoch -> 4 micro-steps = 2 applies
+    for s, batch in enumerate(loader2.epoch(ep)):
+        frames, masks, sizes = mesh_lib.shard_batch(
+            mesh, (batch.frames, batch.masks, batch.sizes))
+        state2, loss, _ = step2(state2, root_key, 10 + ep, s,
+                                frames, masks, sizes, None)
+        losses2.append(float(loss))
+ema_sum = float(sum(jnp.sum(jnp.abs(l)) for l in
+                    jax.tree_util.tree_leaves(state2.ema_params)))
+param_sum = float(sum(jnp.sum(jnp.abs(l)) for l in
+                      jax.tree_util.tree_leaves(state2.params)))
+
 out = {
     "losses": losses,
     "confusion": np.asarray(metrics["confusion_matrix"]).tolist(),
@@ -126,6 +159,9 @@ out = {
     "restored_step": int(restored.step),
     "stop_none": bool(stop_none),
     "stop_one": bool(stop_one),
+    "losses2": losses2,
+    "ema_sum": ema_sum,
+    "param_sum": param_sum,
 }
 json.dump(out, open(outfile + f".{pid}", "w"))
 if jax.process_index() == 0:
@@ -152,6 +188,11 @@ def mh_root(tmp_path_factory):
         m = np.zeros((24, 24), np.uint8)
         m[6:14, 6:14] = 255
         Image.fromarray(m).save(os.path.join(md, "s0.png"))
+    # pack for the composition phase (children open it read-only)
+    from stf_unet_tpu.data.index import DatasetIndex
+    from stf_unet_tpu.data.pack import write_pack
+    write_pack(DatasetIndex(root, "train", SEQS),
+               os.path.join(root, "pack", "train"))
     return root
 
 
@@ -199,7 +240,7 @@ def _single_process_reference(mh_root, n_steps=2):
         sizes = np.concatenate([b0.sizes, b1.sizes])
         frames, masks, sizes = mesh_lib.shard_batch(mesh,
                                                     (frames, masks, sizes))
-        state, loss, lr = step_fn(state, augment_key(root_key, 0, s),
+        state, loss, lr = step_fn(state, root_key, 0, s,
                                   frames, masks, sizes, None)
         losses.append(float(loss))
 
@@ -211,7 +252,36 @@ def _single_process_reference(mh_root, n_steps=2):
     metrics = evaluate(eval_state, model,
                        eval_batches_from_index(index, data_cfg),
                        2, data_cfg=data_cfg)
-    return losses, metrics
+
+    # r3-late composition oracle: packed loader + EMA + grad accumulation
+    # over the same global batches (concat of the two host views).
+    from stf_unet_tpu.data.pack import open_split_pack
+    pack = open_split_pack(os.path.join(mh_root, "pack"), "train")
+    loaders2 = [HostLoader(index, batch_size=2, shuffle=True, seed=1,
+                           prefetch=0, use_native=False, host_index=i,
+                           num_hosts=2, pack=pack) for i in range(2)]
+    optim2 = make_optimizer(OptimConfig(), schedule, grad_accum=2)
+    state2 = create_train_state(jax.random.key(0), mc, optim2, x0, ema=True)
+    state2 = mesh_lib.replicate(mesh, state2)
+    step2 = make_train_step(model, optim2, schedule, 2, augment=augment,
+                            ema_decay=0.5, ema_every_k=2)
+    losses2 = []
+    for ep in (0, 1):
+        for s, (b0, b1) in enumerate(zip(loaders2[0].epoch(ep),
+                                         loaders2[1].epoch(ep))):
+            frames = np.concatenate([b0.frames, b1.frames])
+            masks = np.concatenate([b0.masks, b1.masks])
+            sizes = np.concatenate([b0.sizes, b1.sizes])
+            frames, masks, sizes = mesh_lib.shard_batch(
+                mesh, (frames, masks, sizes))
+            state2, loss, _ = step2(state2, root_key, 10 + ep, s,
+                                    frames, masks, sizes, None)
+            losses2.append(float(loss))
+    ema_sum = float(sum(jnp.sum(jnp.abs(l)) for l in
+                        jax.tree_util.tree_leaves(state2.ema_params)))
+    param_sum = float(sum(jnp.sum(jnp.abs(l)) for l in
+                          jax.tree_util.tree_leaves(state2.params)))
+    return losses, metrics, losses2, ema_sum, param_sum
 
 
 def test_two_process_training_matches_single_process(mh_root, tmp_path):
@@ -241,7 +311,8 @@ def test_two_process_training_matches_single_process(mh_root, tmp_path):
     multi = json.load(open(outfile))
     assert len(multi) == 2 and all(np.isfinite(multi))
 
-    single, single_metrics = _single_process_reference(mh_root)
+    (single, single_metrics, single_losses2, single_ema_sum,
+     single_param_sum) = _single_process_reference(mh_root)
     # identical global batches + identical 4-way GSPMD partitioning -> the
     # losses agree to f32 noise; and step 2's loss depends on step 1's
     # gradient all-reduce, so agreement proves the update path too
@@ -270,3 +341,18 @@ def test_two_process_training_matches_single_process(mh_root, tmp_path):
     # both processes computed identical global metrics
     assert per_proc[0]["confusion"] == per_proc[1]["confusion"]
     assert per_proc[0]["dice"] == per_proc[1]["dice"]
+
+    # --- r3-late composition: packed loader + EMA + grad-accum ----------
+    # 4 micro-steps (2 optimizer applies) over the pack-served host shards
+    # must reproduce the single-process oracle's losses and final
+    # EMA/param checksums (VERDICT r3 next-step 5).
+    for i, d in enumerate(per_proc):
+        assert len(d["losses2"]) == 4, f"process {i} ran {d['losses2']}"
+        np.testing.assert_allclose(d["losses2"], single_losses2,
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f"process {i} composition losses")
+        assert d["ema_sum"] == pytest.approx(single_ema_sum, rel=1e-5)
+        assert d["param_sum"] == pytest.approx(single_param_sum, rel=1e-5)
+    # the replicated composition state is identical on both processes
+    assert per_proc[0]["ema_sum"] == pytest.approx(per_proc[1]["ema_sum"],
+                                                   rel=1e-7)

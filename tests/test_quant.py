@@ -215,10 +215,16 @@ class TestIntegration:
 
         res = quantize_cli.main([
             "--model", "unet", "--model-dir", str(tmp_path / "w"),
-            "--root", root, "--calib-samples", "4", "--batch-size", "2"])
+            "--root", root, "--calib-samples", "4", "--batch-size", "2",
+            "--threshold-sweep"])
         assert os.path.exists(res["scales_path"])
         assert res["num_convs"] == 19
         assert abs(res["dice_delta"]) < 0.05
+        # operating-point shift report (VERDICT r3 #6): both forwards
+        # swept, best points carried in the result
+        for key in ("best_float", "best_int8"):
+            assert 0.0 <= res[key]["threshold"] <= 1.0
+            assert 0.0 <= res[key]["dice"] <= 1.0
 
 
 def test_scales_staleness_warning(tmp_path, capsys):

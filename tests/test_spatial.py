@@ -156,9 +156,9 @@ def test_fused_augment_train_step_under_2d_mesh_matches(tmp_path):
         "data", None, "space", None), f_m.sharding.spec  # H, not T
     assert s_m.sharding.spec == jax.sharding.PartitionSpec("data", None)
 
-    s1, loss1, _ = step(state, key, jnp.asarray(frames), jnp.asarray(masks),
-                        jnp.asarray(sizes), None)
-    s2, loss2, _ = step(state_m, key, f_m, m_m, s_m, None)
+    s1, loss1, _ = step(state, key, 0, 0, jnp.asarray(frames),
+                        jnp.asarray(masks), jnp.asarray(sizes), None)
+    s2, loss2, _ = step(state_m, key, 0, 0, f_m, m_m, s_m, None)
 
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),

@@ -15,8 +15,8 @@ Rows measured (all real-chip, warm, B=16 @ 224² T=8):
   augment_ms                      device augmentation program alone
   fused_unet_bf16_ms              augment+train in one program
   rotsplit_unet_bf16_ms           augment+train with the rotation-
-                                  probability split (the cli/train
-                                  single-device default)
+                                  probability split (opt-in
+                                  --data-rotation-split; default off)
   eval_step_raw_bf16_ms           flagship batch-1 eval step on raw uint8
                                   (device normalize + forward + metrics)
   val_epoch_packed_ms_per_slice   full packed val epoch (eval-geometry
@@ -125,17 +125,28 @@ def main():
     fused = make_train_step(model, optim, sched, cfg.total_classes,
                             augment=aug)
 
-    def run_fused(k):
-        box["s"], loss, _ = fused(box["s"], k, frames, masks, sizes, None)
-        return loss
-    row["fused_unet_bf16_ms"] = round(timeit(run_fused, iters=args.iters,
-                                             key_arg=True), 2)
+    # In-jit key derivation (r4): the fused step takes (root_key, epoch,
+    # step) and folds augment_key inside the program — the timing loop,
+    # like the real train loop, dispatches zero eager key ops.
+    import jax as _jax
+    fused_root = _jax.random.key(0)
+    fused_i = {"i": 0}
 
-    # Rotation-probability split variant (cli/train's single-device
-    # default): unrotated samples take the separable resample path.
+    def run_fused():
+        fused_i["i"] += 1
+        box["s"], loss, _ = fused(box["s"], fused_root, 0, fused_i["i"],
+                                  frames, masks, sizes, None)
+        return loss
+    row["fused_unet_bf16_ms"] = round(timeit(run_fused, iters=args.iters), 2)
+
+    # Rotation-probability split variant (--data-rotation-split):
+    # unrotated samples take the separable resample path.
     from stf_unet_tpu.utils.benchkit import (measure_fused_rotsplit,
                                              measure_serving,
                                              measure_val_epoch_packed)
+    # NOTE: rotation split is default-OFF (loses fused on this toolchain,
+    # PERFORMANCE.md r4); the row stays so a toolchain move that flips the
+    # balance is visible.
     row["rotsplit_unet_bf16_ms"] = round(
         measure_fused_rotsplit(iters=max(args.iters, 20))["ms_per_step"], 2)
 
