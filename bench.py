@@ -237,6 +237,8 @@ def main() -> None:
             measure_serving(int8=True, iters=ITERS)["slices_per_sec"])
         extras["val_epoch_packed_slices_per_sec"] = (
             measure_val_epoch_packed()["slices_per_sec"])
+        extras["val_epoch_packed_b8_slices_per_sec"] = (
+            measure_val_epoch_packed(batch_size=8)["slices_per_sec"])
     except Exception as e:  # extras must never kill the headline line
         extras["extras_error"] = str(e)[-200:]
 

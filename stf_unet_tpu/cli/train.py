@@ -224,7 +224,8 @@ def main(cfg: TrainConfig) -> dict:
     n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Model {cfg.model.model}: {n_params / 1e6:.1f}M params")
     if use_ema:
-        print(f"EMA weights: decay {cfg.optim.ema_decay} "
+        print(f"EMA weights: decay {cfg.optim.ema_decay}"
+              f"{' (warmup ramp)' if cfg.optim.ema_warmup else ''} "
               "(val/test evaluate the EMA copy)")
 
     ckpt = CheckpointManager(cfg.save_dir, cfg.model.model, tag_suffix)
@@ -314,6 +315,7 @@ def main(cfg: TrainConfig) -> dict:
                                  augment=augment,
                                  ema_decay=cfg.optim.ema_decay,
                                  ema_every_k=k,
+                                 ema_warmup=cfg.optim.ema_warmup,
                                  loss_weight=loss_weight,
                                  rotation_split=rotation_split)
     cfg_json = config_lib.config_to_json(cfg)

@@ -144,6 +144,12 @@ class OptimConfig:
     # then use the EMA weights (checkpointed alongside the raw params).
     # Typical values 0.99-0.9999. No reference counterpart.
     ema_decay: float = 0.0
+    # Decay warmup d_eff = min(ema_decay, (1+n)/(10+n)) over the apply
+    # count n (EfficientDet/timm scheme). Without it the EMA carries
+    # 0.95^n of the INIT weights after n applies, so on short epochs val
+    # (which evaluates the EMA copy) plateaus at the untrained score and
+    # --early-stop-patience can fire before the average warms up.
+    ema_warmup: bool = True
 
 
 @dataclass

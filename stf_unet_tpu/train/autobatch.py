@@ -98,7 +98,8 @@ def measure_step_memory(cfg, t_total: int, batch: int,
     step = make_train_step(model, optim, sched, model_cfg.total_classes,
                            augment=TrainAugment(cfg.data),
                            ema_decay=cfg.optim.ema_decay,
-                           ema_every_k=max(int(cfg.grad_accum), 1))
+                           ema_every_k=max(int(cfg.grad_accum), 1),
+                           ema_warmup=cfg.optim.ema_warmup)
     key = jax.random.key(0)
     ma = step.lower(state, key, 0, 0, frames, masks, sizes,
                     pk).compile().memory_analysis()

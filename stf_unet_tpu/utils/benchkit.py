@@ -231,7 +231,8 @@ def measure_serving(model_name: str = "stflstm", int8: bool = False,
 
 
 def measure_val_epoch_packed(model_name: str = "stflstm",
-                             n_samples: int = 64) -> Dict[str, float]:
+                             n_samples: int = 64,
+                             batch_size: int = 1) -> Dict[str, float]:
     """Packed val epoch, end to end: synthetic BreaDM val tree ->
     eval-geometry pack (stf-pack --eval-size) -> eval_batches_from_index
     over the pack -> evaluate() — the decode-free val path cli/train runs
@@ -275,9 +276,13 @@ def measure_val_epoch_packed(model_name: str = "stflstm",
         state = create_train_state(jax.random.key(0), cfg, optim, sample)
 
         def run(pack_arg):
+            # batch_size > 1 rides shape bucketing (bitwise-identical, and
+            # the eval-geometry pack is fixed-shape so every batch is
+            # full): fewer dispatches over the ~11 ms/op tunnel latency.
             return evaluate(state, model,
                             eval_batches_from_index(index, data_cfg,
-                                                    pack=pack_arg),
+                                                    pack=pack_arg,
+                                                    batch_size=batch_size),
                             2, data_cfg=data_cfg)
 
         packed = run(pack)      # warm (compiles, page cache)

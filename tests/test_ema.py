@@ -17,7 +17,7 @@ from stf_unet_tpu.train.schedule import warmup_poly_schedule
 from stf_unet_tpu.train.state import create_train_state, make_optimizer
 
 
-def _setup(ema: bool, decay: float = 0.5):
+def _setup(ema: bool, decay: float = 0.5, warmup: bool = False):
     cfg = ModelConfig(model="unet", num_classes=1, base_c=4, time_steps=2)
     model = create_model(cfg)
     sched = warmup_poly_schedule(1e-2, 10, 4)
@@ -25,7 +25,8 @@ def _setup(ema: bool, decay: float = 0.5):
     x0 = jnp.zeros((2, 2, 16, 16, 1), jnp.float32)
     state = create_train_state(jax.random.key(0), cfg, optim, x0, ema=ema)
     step = make_train_step(model, optim, sched, cfg.total_classes,
-                           ema_decay=decay if ema else 0.0)
+                           ema_decay=decay if ema else 0.0,
+                           ema_warmup=warmup)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(2, 2, 16, 16, 1))
                          .astype(np.float32))
@@ -52,6 +53,40 @@ def test_ema_matches_manual_recursion():
         jax.tree_util.tree_leaves(state.ema_params),
         jax.tree_util.tree_leaves(state.params))]
     assert max(diffs) > 0
+
+
+def test_ema_warmup_ramps_decay():
+    """ema_warmup=True (the default in cli/train): the effective decay is
+    min(decay, (1+n)/(10+n)) over the apply count n, so the first applies
+    are near-copies of the raw params — without the ramp a d=0.95 EMA
+    still carries 0.95^n of the INIT weights and val (which evaluates the
+    EMA copy) plateaus at the untrained score on short epochs."""
+    decay = 0.95
+    state, step, images, targets = _setup(ema=True, decay=decay, warmup=True)
+    manual = jax.tree_util.tree_map(jnp.copy, state.params)
+    for n in range(4):
+        state, _, _ = step(state, images, targets)
+        d_eff = min(decay, (1.0 + n) / (10.0 + n))
+        manual = jax.tree_util.tree_map(
+            lambda e, p, d=d_eff: e * d + p * (1 - d), manual, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(manual),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # after 4 applies the warmed EMA tracks params far more closely than a
+    # flat 0.95 recursion would (0.95^4 = 0.81 of init left vs ~0.2%)
+    gap = max(float(jnp.abs(e - p).max()) for e, p in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(state.params)))
+    s2, step2, im2, tg2 = _setup(ema=True, decay=decay, warmup=False)
+    for _ in range(4):
+        s2, _, _ = step2(s2, im2, tg2)
+    gap_flat = max(float(jnp.abs(e - p).max()) for e, p in zip(
+        jax.tree_util.tree_leaves(s2.ema_params),
+        jax.tree_util.tree_leaves(s2.params)))
+    # (the exact-recursion assert above pins the math; this only checks
+    # dominance — gap also carries last-step lag, common to both variants)
+    assert gap < gap_flat / 2
 
 
 def test_ema_off_keeps_state_shape():

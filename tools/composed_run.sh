@@ -37,7 +37,7 @@ phase "train"
 python -m stf_unet_tpu.cli.train \
     --data-path "$WORK/tree" --model stflstm --epochs 20 \
     --batch-size 16 --amp --data-pack "$WORK/pack" \
-    --optim-ema-decay 0.95 --early-stop-patience 5 \
+    --optim-ema-decay 0.95 --early-stop-patience 5 --eval-batch-size 8 \
     --save-dir "$WORK/weights" --output-dir "$WORK/out" \
     2>&1 | tee "$LOG/train.txt"
 

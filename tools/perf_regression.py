@@ -176,6 +176,10 @@ def main():
     # flagship, batch 1 — asserts packed==decoded metrics before timing.
     row["val_epoch_packed_ms_per_slice"] = round(
         measure_val_epoch_packed()["ms_per_slice"], 2)
+    # Batched flavor (--eval-batch-size 8): fixed-shape pack -> full
+    # shape-bucketed batches, amortizing the ~11 ms/dispatch tunnel tax.
+    row["val_epoch_packed_b8_ms_per_slice"] = round(
+        measure_val_epoch_packed(batch_size=8)["ms_per_slice"], 2)
 
     # Serving forwards, flagship @ B16 224²: bf16 and post-training int8
     # (gates the measured int8 win — VERDICT r3 #6).
