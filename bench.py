@@ -215,7 +215,7 @@ def main() -> None:
             print(f"baseline measurement failed: {e}", file=sys.stderr)
 
     # BASELINE configs 3-5 extras (VERDICT r3 #2): the flagship train step,
-    # the honest end-to-end fused augment+train (rotation-split, what
+    # the honest end-to-end fused augment+train (the single fused program
     # cli/train dispatches per step), flagship serving inference, and the
     # packed val epoch. All ride as extra keys; the headline `value` stays
     # the UNet f32 number for round-over-round continuity.
@@ -231,6 +231,9 @@ def main() -> None:
         extras["stflstm_train_bf16_mfu_pct"] = stf["mfu_pct"]
         extras["fused_augment_train_slices_per_sec"] = (
             measure_fused_train(iters=ITERS)["slices_per_sec"])
+        extras["fused_stflstm_train_slices_per_sec"] = (
+            measure_fused_train(iters=ITERS,
+                                model_name="stflstm")["slices_per_sec"])
         extras["flagship_infer_bf16_slices_per_sec"] = (
             measure_serving(int8=False, iters=ITERS)["slices_per_sec"])
         extras["flagship_infer_int8_slices_per_sec"] = (

@@ -29,7 +29,8 @@ def _sync(x) -> None:
 
 
 def measure_train_step(model_name: str, amp: bool, iters: int = 20,
-                       with_flops: bool = True) -> Dict[str, Optional[float]]:
+                       with_flops: bool = True,
+                       lstm_backend: str = "auto") -> Dict[str, Optional[float]]:
     """Pure train step (no augmentation), batch 16 @ 224² T=8 — BASELINE
     configs 2 (unet) and 3 (stflstm). Returns ms_per_step,
     slices_per_sec, and (when XLA cost analysis is available) tflops +
@@ -45,7 +46,8 @@ def measure_train_step(model_name: str, amp: bool, iters: int = 20,
     from stf_unet_tpu.train.state import create_train_state, make_optimizer
 
     policy = make_policy(amp)
-    cfg = ModelConfig(model=model_name, num_classes=1, time_steps=_T)
+    cfg = ModelConfig(model=model_name, num_classes=1, time_steps=_T,
+                      lstm_backend=lstm_backend)
     model = create_model(cfg, dtype=policy.compute_dtype if amp else None)
     sched = warmup_poly_schedule(1e-3, 100, 100)
     optim = make_optimizer(OptimConfig(), sched)
@@ -84,7 +86,8 @@ def measure_train_step(model_name: str, amp: bool, iters: int = 20,
 
 
 def measure_fused_train(iters: int = 20,
-                        model_name: str = "unet") -> Dict[str, float]:
+                        model_name: str = "unet",
+                        lstm_backend: str = "auto") -> Dict[str, float]:
     """Fused augment+train (the honest end-to-end train step a user gets
     from cli/train): raw uint8 [B,T,256,256] batches, device-side
     augmentation + PRNG fold-ins + update all in ONE program — the loop
@@ -102,7 +105,8 @@ def measure_fused_train(iters: int = 20,
     from stf_unet_tpu.train.state import create_train_state, make_optimizer
 
     policy = make_policy(True)
-    cfg = ModelConfig(model=model_name, num_classes=1, time_steps=_T)
+    cfg = ModelConfig(model=model_name, num_classes=1, time_steps=_T,
+                      lstm_backend=lstm_backend)
     model = create_model(cfg, dtype=policy.compute_dtype)
     sched = warmup_poly_schedule(1e-3, 100, 100)
     optim = make_optimizer(OptimConfig(), sched)

@@ -14,6 +14,8 @@ Rows measured (all real-chip, warm, B=16 @ 224² T=8):
   stflstm_bf16_ms                 flagship pure train step
   augment_ms                      device augmentation program alone
   fused_unet_bf16_ms              augment+train in one program
+  fused_stflstm_bf16_ms           flagship augment+train in one program
+                                  (the composed-run production step)
   rotsplit_unet_bf16_ms           augment+train with the rotation-
                                   probability split (opt-in
                                   --data-rotation-split; default off)
@@ -139,11 +141,21 @@ def main():
         return loss
     row["fused_unet_bf16_ms"] = round(timeit(run_fused, iters=args.iters), 2)
 
-    # Rotation-probability split variant (--data-rotation-split):
-    # unrotated samples take the separable resample path.
+    # Flagship fused augment+train — the production program cli/train
+    # dispatches per step for the default model (the composed-run
+    # workload; 60.6 ms first gate row, i.e. ~5.5 ms of augment/backward
+    # overlap vs the 66 ms pure+augment sum — the 68 ms perf_loop_floor
+    # figure was a higher-tunnel-load session).
     from stf_unet_tpu.utils.benchkit import (measure_fused_rotsplit,
+                                             measure_fused_train,
                                              measure_serving,
                                              measure_val_epoch_packed)
+    row["fused_stflstm_bf16_ms"] = round(
+        measure_fused_train(iters=args.iters,
+                            model_name="stflstm")["ms_per_step"], 2)
+
+    # Rotation-probability split variant (--data-rotation-split):
+    # unrotated samples take the separable resample path.
     # NOTE: rotation split is default-OFF (loses fused on this toolchain,
     # PERFORMANCE.md r4); the row stays so a toolchain move that flips the
     # balance is visible.
