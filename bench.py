@@ -1,6 +1,15 @@
 """Benchmark: DCE-MRI slices/sec/chip, ours (TPU) vs reference (PyTorch CPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints the headline JSON line ({"metric", "value", "unit", "vs_baseline",
+...}) TWICE: once the moment the core f32/bf16/baseline numbers are known
+(deadline-proof: the driver reads the tail of stdout, so if a driver
+timeout kills the extras phase the already-measured headline still lands —
+BENCH_r04.json was rc=124/parsed:null because the old single-print-at-end
+structure forfeited everything, VERDICT r4 #1), and once more at the end
+with the extras merged in. Extras run under an explicit wall-clock budget
+(env STF_BENCH_BUDGET_S, default 1500 s total bench wall-clock, calibrated
+against r3's successful driver run); whatever doesn't fit is listed in
+`extras_skipped` instead of risking the artifact.
 
 Headline config = BASELINE.md config 2: 2-D UNet, batch 16, 224x224, 8
 temporal frames as stacked channels, dice+CE loss, AdamW train step. The
@@ -12,6 +21,13 @@ reference's own torch model (/root/reference/src/unet.py) on CPU, measured
 once and cached in bench_baseline.json (the reference's STF-LSTM-UNet
 cannot run at all: its decoder stops at half resolution and torchvision is
 unavailable — see SURVEY.md §7).
+
+Env knobs:
+  STF_BENCH_BUDGET_S   total wall-clock budget, default 1500
+  STF_BENCH_PROBE_S    TPU-reachability probe timeout, default 120
+  STF_BENCH_ITERS      timed iterations per program, default 20
+  STF_BENCH_SMOKE=1    tiny-shape CPU smoke (quick test tier): headline
+                       path only, 2 iters, no probe/extras/torch run
 """
 
 from __future__ import annotations
@@ -24,13 +40,27 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "bench_baseline.json")
+LAST = os.path.join(REPO, "bench_last.json")
 
-BATCH = 16
-CROP = 224
+SMOKE = os.environ.get("STF_BENCH_SMOKE", "") == "1"
+BATCH = 2 if SMOKE else 16
+CROP = 32 if SMOKE else 224
 T_FRAMES = 8
-WARMUP = 3
-ITERS = 20
+WARMUP = 1 if SMOKE else 3
+ITERS = 2 if SMOKE else int(os.environ.get("STF_BENCH_ITERS", "20"))
+BUDGET_S = float(os.environ.get("STF_BENCH_BUDGET_S", "1500"))
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e MXU peak (bf16)
+
+T_START = time.monotonic()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - T_START
+
+
+def _log(msg: str) -> None:
+    # Progress to stderr: if the driver kills us, the tail shows the stage.
+    print(f"[bench +{_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def measure_ours(amp: bool) -> dict:
@@ -150,7 +180,7 @@ def measure_reference_cpu() -> float:
     return BATCH / median
 
 
-def tpu_reachable(timeout_s: float = 240.0):
+def tpu_reachable(timeout_s: float):
     """Probe backend init in a SUBPROCESS with a timeout: when the axon
     TPU tunnel is down, jax.devices() hangs indefinitely (it does not
     error), which would hang the whole bench. Returns None when reachable,
@@ -170,18 +200,105 @@ def tpu_reachable(timeout_s: float = 240.0):
     return None
 
 
+def run_extras(rnd) -> dict:
+    """BASELINE configs 3-5 extras (VERDICT r3 #2): the flagship train
+    step, the honest end-to-end fused augment+train (the single fused
+    program cli/train dispatches per step), flagship serving inference,
+    and the packed val epoch. All ride as extra keys on the second
+    headline print; the headline `value` stays the UNet f32 number for
+    round-over-round continuity.
+
+    Deadline behavior (VERDICT r4 #1b): extras run in priority order;
+    before each, the remaining budget is checked against a conservative
+    cost estimate (the largest cost observed so far this run — compile +
+    executable upload dominates and is 89-560 s/program on this host,
+    PERFORMANCE.md r4 §5). Anything skipped or failed is reported, never
+    fatal."""
+    from stf_unet_tpu.utils.benchkit import (measure_fused_train,
+                                             measure_serving_both,
+                                             measure_train_step,
+                                             measure_val_epoch_packed_multi)
+    extras: dict = {}
+    skipped: list = []
+    errors: list = []
+    # Initial per-extra cost estimate: the headline phase compiled two
+    # train-step programs; half its elapsed time is a same-host estimate
+    # of one more compile+measure. Refined to the max observed as we go.
+    est = {"s": max(60.0, _elapsed() / 2.0)}
+
+    def stage(name, fn):
+        remaining = BUDGET_S - _elapsed()
+        if remaining < est["s"]:
+            skipped.append(name)
+            _log(f"skip {name}: {remaining:.0f}s left < {est['s']:.0f}s est")
+            return
+        _log(f"extra: {name}")
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # extras must never kill the artifact
+            errors.append(f"{name}: {str(e)[-120:]}")
+            _log(f"extra {name} FAILED: {e}")
+        est["s"] = max(est["s"], (time.monotonic() - t0) * 1.1)
+
+    def flagship_fused():
+        extras["fused_stflstm_train_slices_per_sec"] = (
+            measure_fused_train(iters=ITERS,
+                                model_name="stflstm")["slices_per_sec"])
+
+    def flagship_pure():
+        stf = measure_train_step("stflstm", amp=True, iters=ITERS)
+        extras["stflstm_train_bf16_slices_per_sec"] = stf["slices_per_sec"]
+        extras["stflstm_train_bf16_tflops"] = stf["tflops"]
+        extras["stflstm_train_bf16_mfu_pct"] = stf["mfu_pct"]
+
+    def unet_fused():
+        extras["fused_augment_train_slices_per_sec"] = (
+            measure_fused_train(iters=ITERS)["slices_per_sec"])
+
+    def serving():
+        both = measure_serving_both(iters=ITERS)
+        extras["flagship_infer_bf16_slices_per_sec"] = (
+            both["bf16"]["slices_per_sec"])
+        extras["flagship_infer_int8_slices_per_sec"] = (
+            both["int8"]["slices_per_sec"])
+
+    def packed_val():
+        multi = measure_val_epoch_packed_multi(batch_sizes=(1, 8))
+        extras["val_epoch_packed_slices_per_sec"] = (
+            multi[1]["slices_per_sec"])
+        extras["val_epoch_packed_b8_slices_per_sec"] = (
+            multi[8]["slices_per_sec"])
+
+    # Priority order: the production fused flagship step first (the number
+    # the composed run lives on), then flagship MFU, then the rest.
+    stage("fused_stflstm", flagship_fused)
+    stage("stflstm_pure", flagship_pure)
+    stage("fused_unet", unet_fused)
+    stage("serving", serving)
+    stage("packed_val", packed_val)
+
+    if skipped:
+        extras["extras_skipped"] = skipped
+    if errors:
+        extras["extras_error"] = "; ".join(errors)[-300:]
+    return extras
+
+
 def main() -> None:
     # CPU runs (either pin spelling) skip the TPU probe — but the env var
     # alone does not actually select cpu (the axon plugin overrides
     # JAX_PLATFORMS at import), so apply the pin via jax.config here,
     # exactly like tests/conftest.py and dryrun_multichip do.
     wants_cpu = (os.environ.get("STF_UNET_PLATFORM", "").lower() == "cpu"
-                 or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu")
+                 or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+                 or SMOKE)
     if wants_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     else:
-        problem = tpu_reachable()
+        probe_s = float(os.environ.get("STF_BENCH_PROBE_S", "120"))
+        problem = tpu_reachable(probe_s)
         if problem is not None:
             print(json.dumps({
                 "metric": "unet_train_slices_per_sec_per_chip",
@@ -189,21 +306,30 @@ def main() -> None:
                 "unit": "slices/sec",
                 "vs_baseline": None,
                 "error": f"TPU backend unreachable: {problem}",
-            }))
+            }), flush=True)
             raise SystemExit(1)
     try:  # warm-start repeat runs; the measured loop is warm either way
         from stf_unet_tpu.core.cache import enable_compilation_cache
         enable_compilation_cache()
     except Exception:
         pass
+    _log("headline: unet f32")
     f32 = measure_ours(amp=False)
+    _log("headline: unet bf16")
     bf16 = measure_ours(amp=True)
 
     baseline = None
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            baseline = json.load(f).get("reference_cpu_slices_per_sec")
-    if baseline is None and os.path.isdir("/root/reference"):
+            cached = json.load(f)
+        # the smoke tier must not compare tiny shapes to the full-size
+        # cached baseline
+        cfg = cached.get("config", {})
+        if cfg.get("batch") == BATCH and cfg.get("crop") == CROP:
+            baseline = cached.get("reference_cpu_slices_per_sec")
+    if (baseline is None and not SMOKE
+            and os.path.isdir("/root/reference")):
+        _log("measuring torch-CPU reference baseline")
         try:
             baseline = measure_reference_cpu()
             with open(CACHE, "w") as f:
@@ -214,40 +340,9 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"baseline measurement failed: {e}", file=sys.stderr)
 
-    # BASELINE configs 3-5 extras (VERDICT r3 #2): the flagship train step,
-    # the honest end-to-end fused augment+train (the single fused program
-    # cli/train dispatches per step), flagship serving inference, and the
-    # packed val epoch. All ride as extra keys; the headline `value` stays
-    # the UNet f32 number for round-over-round continuity.
-    from stf_unet_tpu.utils.benchkit import (measure_fused_train,
-                                             measure_serving,
-                                             measure_train_step,
-                                             measure_val_epoch_packed)
-    extras = {}
-    try:
-        stf = measure_train_step("stflstm", amp=True, iters=ITERS)
-        extras["stflstm_train_bf16_slices_per_sec"] = stf["slices_per_sec"]
-        extras["stflstm_train_bf16_tflops"] = stf["tflops"]
-        extras["stflstm_train_bf16_mfu_pct"] = stf["mfu_pct"]
-        extras["fused_augment_train_slices_per_sec"] = (
-            measure_fused_train(iters=ITERS)["slices_per_sec"])
-        extras["fused_stflstm_train_slices_per_sec"] = (
-            measure_fused_train(iters=ITERS,
-                                model_name="stflstm")["slices_per_sec"])
-        extras["flagship_infer_bf16_slices_per_sec"] = (
-            measure_serving(int8=False, iters=ITERS)["slices_per_sec"])
-        extras["flagship_infer_int8_slices_per_sec"] = (
-            measure_serving(int8=True, iters=ITERS)["slices_per_sec"])
-        extras["val_epoch_packed_slices_per_sec"] = (
-            measure_val_epoch_packed()["slices_per_sec"])
-        extras["val_epoch_packed_b8_slices_per_sec"] = (
-            measure_val_epoch_packed(batch_size=8)["slices_per_sec"])
-    except Exception as e:  # extras must never kill the headline line
-        extras["extras_error"] = str(e)[-200:]
-
     ours = f32["slices_per_sec"]
     rnd = lambda v, k=2: round(v, k) if v is not None else None
-    print(json.dumps({
+    headline = {
         "metric": "unet_train_slices_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "slices/sec",
@@ -260,9 +355,35 @@ def main() -> None:
         "f32_ms_per_step": rnd(f32["ms_per_step"], 1),
         "bf16_ms_per_step": rnd(bf16["ms_per_step"], 1),
         "bf16_mfu_pct": rnd(bf16["mfu_pct"], 1),
+    }
+    # FIRST print — the deadline-proof record. The driver parses the tail
+    # of stdout, so this line survives even if everything after is killed.
+    print(json.dumps(headline), flush=True)
+    _log(f"headline printed at +{_elapsed():.0f}s; extras budget "
+         f"{BUDGET_S - _elapsed():.0f}s")
+
+    if SMOKE:
+        return
+
+    extras = run_extras(rnd)
+    final = {
+        **headline,
         **{k: (rnd(v) if isinstance(v, float) else v)
            for k, v in extras.items()},
-    }))
+        "bench_wallclock_s": round(_elapsed(), 1),
+    }
+    # SECOND print — the full record; being last, this is what the driver
+    # parses when the run completes in time.
+    print(json.dumps(final), flush=True)
+    try:  # wall-clock record for the perf gate (tools/perf_regression.py)
+        with open(LAST, "w") as f:
+            json.dump({"bench_wallclock_s": final["bench_wallclock_s"],
+                       "extras_skipped": extras.get("extras_skipped", []),
+                       "extras_error": extras.get("extras_error"),
+                       "budget_s": BUDGET_S,
+                       "when": time.strftime("%Y-%m-%d %H:%M:%S")}, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -248,6 +248,96 @@ def _nearest_gather(img: jax.Array, gy: jax.Array, gx: jax.Array,
     return jnp.where(inside, vals, jnp.asarray(fill, dtype=img.dtype))
 
 
+def _warp_gather_mode() -> str:
+    """Gather strategy for the fused warp's 4 bilinear taps.
+
+    The warp program is pinned at XLA's per-INDEX gather cost (~7 ns/index
+    regardless of payload width, tools/perf_warp_gather.py), so the lever
+    is index COUNT, not bytes:
+
+      point      4 point gathers on the flattened [Cs, H*W] minor axis —
+                 one index per tap per output pixel (4N indices).
+      patch      ONE gather of the full 2x2 bilinear tap window per output
+                 pixel (N indices, 4x fewer): channel-minor [H, W*Cs]
+                 layout, slice_sizes=(2, 2*Cs). The four taps become
+                 in-register selects over the window — bit-identical to
+                 `point` by construction (pre-clamped starts + per-tap
+                 row/col re-selection; pinned by
+                 tests/test_data.py::test_warp_gather_modes_bit_identical).
+      patch_chw  same one-index-per-pixel idea on the untransposed
+                 [Cs, H, W] layout, slice_sizes=(Cs, 2, 2) — measures
+                 whether the 2-axis slice lowers as badly as the 2-axis
+                 POINT gather did (3.25 s; see _bilinear_gather note).
+
+    Override with STF_UNET_WARP_GATHER={point,patch,patch_chw}; the
+    default is the mode measured fastest on the production augment
+    program (PERFORMANCE.md round 5) — re-measure when the toolchain
+    moves."""
+    import os
+    mode = os.environ.get("STF_UNET_WARP_GATHER", "point")
+    if mode not in ("point", "patch", "patch_chw"):
+        raise ValueError(f"STF_UNET_WARP_GATHER={mode!r} not in "
+                         "{'point','patch','patch_chw'}")
+    return mode
+
+
+def _patch_window_taps(stacked: jax.Array, gy: jax.Array, gx: jax.Array,
+                       mode: str):
+    """Fetch each output pixel's full 2x2 bilinear tap window with ONE
+    gather index (vs 4 point-gather indices), then reconstruct the four
+    taps as selects over the window.
+
+    Bit-identity with the point taps: starts are pre-clamped to
+    [0, size-2] so the window always contains BOTH clipped tap
+    coordinates of each axis — clip(yy, 0, h-1) - clip(floor(gy), 0, h-2)
+    is provably in {0, 1} for yy in {y0, y0+1} — so selecting the window
+    row/col by that offset reproduces flat[clip(yy), clip(xx)] exactly.
+
+    Returns tap(yy, xx) -> (vals f32 [Cs, Ho, Wo] zeroed outside the
+    valid region closure, inside bool [Ho, Wo]) plus (y0, x0) floors."""
+    cs, h, w = stacked.shape
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    y0c = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
+    x0c = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+    if mode == "patch":
+        # channel-minor layout: the 2x2xCs window is two contiguous
+        # 2*Cs-element runs -> slice_sizes=(2, 2*Cs), one index per pixel
+        src = jnp.moveaxis(stacked, 0, -1).reshape(h, w * cs)
+        starts = jnp.stack([y0c.reshape(-1), (x0c * cs).reshape(-1)],
+                           axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        patch = jax.lax.gather(src, starts, dn, slice_sizes=(2, 2 * cs),
+                               mode=jax.lax.GatherScatterMode.CLIP)
+        patch = patch.reshape(gy.shape + (2, 2, cs)).astype(jnp.float32)
+    else:  # patch_chw
+        starts = jnp.stack([y0c.reshape(-1), x0c.reshape(-1)], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(1, 2))
+        patch = jax.lax.gather(stacked, starts, dn,
+                               slice_sizes=(cs, 2, 2),
+                               mode=jax.lax.GatherScatterMode.CLIP)
+        # [N, Cs, 2, 2] -> [Ho, Wo, 2, 2, Cs]
+        patch = jnp.moveaxis(patch.reshape(gy.shape + (cs, 2, 2)),
+                             2, -1).astype(jnp.float32)
+
+    def window_tap(yy, xx, valid_h, valid_w):
+        inside = ((yy >= 0) & (yy <= valid_h - 1) &
+                  (xx >= 0) & (xx <= valid_w - 1))
+        ry = jnp.clip(yy, 0, h - 1).astype(jnp.int32) - y0c  # in {0, 1}
+        rx = jnp.clip(xx, 0, w - 1).astype(jnp.int32) - x0c
+        row = jnp.where((ry == 0)[..., None, None], patch[..., 0, :, :],
+                        patch[..., 1, :, :])
+        v = jnp.where((rx == 0)[..., None], row[..., 0, :], row[..., 1, :])
+        v = jnp.moveaxis(v, -1, 0)  # [Cs, Ho, Wo]
+        return v * inside.astype(jnp.float32), inside
+
+    return window_tap, y0, x0
+
+
 def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
                                gy: jax.Array, gx: jax.Array,
                                valid_h: jax.Array, valid_w: jax.Array,
@@ -272,19 +362,26 @@ def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
     h, w = chans.shape[-2], chans.shape[-1]
     stacked = jnp.concatenate([chans, mask_f[None].astype(chans.dtype)],
                               axis=0)
-    flat = stacked.reshape(stacked.shape[0], h * w)
-    y0 = jnp.floor(gy)
-    x0 = jnp.floor(gx)
-    wy = gy - y0
-    wx = gx - x0
+    mode = _warp_gather_mode()
+    if mode != "point" and h >= 2 and w >= 2:
+        window_tap, y0, x0 = _patch_window_taps(stacked, gy, gx, mode)
+        tap = lambda yy, xx: window_tap(yy, xx, valid_h, valid_w)
+        wy = gy - y0
+        wx = gx - x0
+    else:
+        flat = stacked.reshape(stacked.shape[0], h * w)
+        y0 = jnp.floor(gy)
+        x0 = jnp.floor(gx)
+        wy = gy - y0
+        wx = gx - x0
 
-    def tap(yy, xx):
-        inside = ((yy >= 0) & (yy <= valid_h - 1) &
-                  (xx >= 0) & (xx <= valid_w - 1))
-        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-        vals = flat[:, yc * w + xc].astype(jnp.float32)
-        return vals * inside.astype(jnp.float32), inside
+        def tap(yy, xx):
+            inside = ((yy >= 0) & (yy <= valid_h - 1) &
+                      (xx >= 0) & (xx <= valid_w - 1))
+            yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+            xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+            vals = flat[:, yc * w + xc].astype(jnp.float32)
+            return vals * inside.astype(jnp.float32), inside
 
     v00, in00 = tap(y0, x0)
     v01, in01 = tap(y0, x0 + 1)

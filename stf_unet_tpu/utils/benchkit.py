@@ -193,6 +193,17 @@ def measure_serving(model_name: str = "stflstm", int8: bool = False,
     """The serving engine's forward (device normalize -> forward -> argmax)
     at batch 16 @ 224², bf16 or post-training int8 (BASELINE config 4's
     inference half; tools/perf_int8.py is the exploratory twin)."""
+    return measure_serving_both(model_name, iters=iters,
+                                variants=("int8",) if int8
+                                else ("bf16",))["int8" if int8 else "bf16"]
+
+
+def measure_serving_both(model_name: str = "stflstm", iters: int = 20,
+                         variants=("bf16", "int8")) -> Dict[str, Dict[str, float]]:
+    """bf16 AND post-training-int8 serving forwards sharing ONE model
+    build + flax init + calibration batch (the init is itself a full
+    compile on this host, ~1-2 min over the tunnel — sharing it halves
+    the serving extras' wall-clock in bench.py, VERDICT r4 #1c)."""
     import jax
     import jax.numpy as jnp
 
@@ -202,49 +213,77 @@ def measure_serving(model_name: str = "stflstm", int8: bool = False,
 
     data_cfg = DataConfig()
     cfg = ModelConfig(model=model_name, num_classes=1, time_steps=_T)
-    model = create_model(cfg, dtype=jnp.bfloat16)
+    base_model = create_model(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x_u8 = jnp.asarray(rng.integers(
         0, 256, (_B, _T, _CROP, _CROP, 1), dtype=np.uint8))
     xin = preprocess_input(normalize(x_u8, data_cfg.mean, data_cfg.std),
-                           model)
-    variables = jax.jit(
-        lambda k: model.init(k, xin, train=False))(jax.random.key(0))
-    if int8:
-        from stf_unet_tpu.ops import quant
-        scales = quant.calibrate(model, variables, [xin])
-        variables = quant.quantize_variables(variables, scales)
-        model = quant.QuantizedModel(model)
+                           base_model)
+    base_vars = jax.jit(
+        lambda k: base_model.init(k, xin, train=False))(jax.random.key(0))
 
-    @jax.jit
-    def fwd(v, xu):
-        x = normalize(xu, data_cfg.mean, data_cfg.std)
-        logits = model.apply(v, preprocess_input(x, model),
-                             train=False)["out"]
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+    out: Dict[str, Dict[str, float]] = {}
+    for variant in variants:
+        model, variables = base_model, base_vars
+        if variant == "int8":
+            from stf_unet_tpu.ops import quant
+            scales = quant.calibrate(base_model, base_vars, [xin])
+            variables = quant.quantize_variables(base_vars, scales)
+            model = quant.QuantizedModel(base_model)
 
-    for _ in range(3):
-        out = fwd(variables, x_u8)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x_u8)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / iters
-    return {"ms_per_batch": dt * 1e3, "slices_per_sec": _B / dt}
+        @jax.jit
+        def fwd(v, xu, model=model):
+            x = normalize(xu, data_cfg.mean, data_cfg.std)
+            logits = model.apply(v, preprocess_input(x, model),
+                                 train=False)["out"]
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        for _ in range(3):
+            res = fwd(variables, x_u8)
+        _sync(res)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = fwd(variables, x_u8)
+        _sync(res)
+        dt = (time.perf_counter() - t0) / iters
+        out[variant] = {"ms_per_batch": dt * 1e3, "slices_per_sec": _B / dt}
+    return out
 
 
 def measure_val_epoch_packed(model_name: str = "stflstm",
                              n_samples: int = 64,
-                             batch_size: int = 1) -> Dict[str, float]:
+                             batch_size: int = 1,
+                             timed_reps: int = 3) -> Dict[str, float]:
+    """Single-batch-size wrapper over measure_val_epoch_packed_multi."""
+    return measure_val_epoch_packed_multi(
+        model_name, n_samples, (batch_size,), timed_reps)[batch_size]
+
+
+def measure_val_epoch_packed_multi(model_name: str = "stflstm",
+                                   n_samples: int = 64,
+                                   batch_sizes=(1, 8),
+                                   timed_reps: int = 3,
+                                   ) -> Dict[int, Dict[str, float]]:
     """Packed val epoch, end to end: synthetic BreaDM val tree ->
     eval-geometry pack (stf-pack --eval-size) -> eval_batches_from_index
     over the pack -> evaluate() — the decode-free val path cli/train runs
-    every epoch under --data-pack (VERDICT r3 #3). Measures the SECOND
-    evaluate() call (first warms compiles and the page cache). Also
-    asserts the packed metrics equal the decode-path metrics bit-for-bit
-    before timing."""
+    every epoch under --data-pack (VERDICT r3 #3).
+
+    All batch sizes share ONE tree/pack/model/state build (VERDICT r4
+    #1c); batch_size > 1 rides shape bucketing (bitwise-identical to the
+    decode path AT THE SAME batch size — asserted here — the
+    eval-geometry pack is fixed-shape so every batch is full). The
+    decode-path oracle runs once PER batch size: metrics across batch
+    sizes agree only to float-sum reassociation (the per-slice dice mean
+    accumulates in a different order under bucketing), so a b1 oracle
+    cannot pin a b8 run bit-for-bit. Each size measures
+    `timed_reps` warm epochs and reports the MEDIAN ms/slice plus the
+    max-min spread: this metric rides the host link (pack read + uint8
+    H2D per batch), so single-epoch point values vary with tunnel load
+    session to session (17.9 vs 10.8 ms/slice recorded across r4
+    sessions, VERDICT r4 weak 2/8)."""
     import shutil
+    import statistics
     import tempfile
 
     import jax
@@ -279,27 +318,33 @@ def measure_val_epoch_packed(model_name: str = "stflstm",
         sample = jnp.zeros((1, _T, _CROP, _CROP, 1), jnp.float32)
         state = create_train_state(jax.random.key(0), cfg, optim, sample)
 
-        def run(pack_arg):
-            # batch_size > 1 rides shape bucketing (bitwise-identical, and
-            # the eval-geometry pack is fixed-shape so every batch is
-            # full): fewer dispatches over the ~11 ms/op tunnel latency.
+        def run(pack_arg, bs):
             return evaluate(state, model,
                             eval_batches_from_index(index, data_cfg,
                                                     pack=pack_arg,
-                                                    batch_size=batch_size),
+                                                    batch_size=bs),
                             2, data_cfg=data_cfg)
 
-        packed = run(pack)      # warm (compiles, page cache)
-        decoded = run(None)     # decode-path oracle
-        assert packed["dice"] == decoded["dice"], (
-            "packed val metrics diverged from the decode path")
-        assert (packed["confusion_matrix"]
-                == decoded["confusion_matrix"]).all()
-        t0 = time.perf_counter()
-        run(pack)
-        dt = time.perf_counter() - t0
         n = len(index)
-        return {"ms_per_slice": dt / n * 1e3, "slices_per_sec": n / dt,
-                "n_samples": n}
+        out: Dict[int, Dict[str, float]] = {}
+        for bs in batch_sizes:
+            decoded = run(None, bs)  # decode-path oracle, same bs
+            packed = run(pack, bs)   # warm (compiles, page cache)
+            assert packed["dice"] == decoded["dice"], (
+                "packed val metrics diverged from the decode path")
+            assert (packed["confusion_matrix"]
+                    == decoded["confusion_matrix"]).all()
+            times = []
+            for _ in range(max(1, timed_reps)):
+                t0 = time.perf_counter()
+                run(pack, bs)
+                times.append(time.perf_counter() - t0)
+            dt = statistics.median(times)
+            out[bs] = {"ms_per_slice": dt / n * 1e3,
+                       "slices_per_sec": n / dt,
+                       "spread_ms_per_slice": (max(times) - min(times))
+                       / n * 1e3,
+                       "n_samples": n, "timed_reps": len(times)}
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -57,6 +57,8 @@ QUICK_TESTS = {
     # and the composition tests cover it)
     "test_tta.py::test_tta_equals_mean_of_flipped_forwards",
     "test_patient_metrics.py::TestHd95Assd::test_translated_square",
+    # driver bench wiring: headline line must parse (smoke mode, CPU)
+    "test_bench_smoke.py::test_bench_headline_smoke",
     # native loader, viz, doctor, plot, torch import
     "test_native_loader.py::test_decode_matches_pil",
     "test_viz.py::test_save_overlay_and_merge",

@@ -548,6 +548,70 @@ def test_tap_dtype_variants_bit_identical(monkeypatch):
         np.testing.assert_array_equal(outs[dt][1], outs["bf16"][1])
 
 
+def test_warp_gather_modes_bit_identical(monkeypatch):
+    """STF_UNET_WARP_GATHER is a pure performance knob
+    (transforms._warp_gather_mode): the patch modes fetch each output
+    pixel's 2x2 tap window with ONE gather index and reconstruct the four
+    taps by in-register selects.
+
+    Contract pinned here, two levels:
+      1. The WARP ITSELF (_warp_bilinear_and_nearest as its own jitted
+         program) is bit-identical across all three modes — values,
+         out-of-range fills (rotation corners), canvas-padded valid
+         regions, nearest-mask banker's rounding.
+      2. Inside the full fused TrainAugment program, TARGETS stay exact
+         (pure selects) and IMAGES agree to a few f32 ulps of the
+         normalize epilogue (~5e-5 in z-scored units): the mode changes
+         the gather's graph structure, so XLA's fusion/FMA reassociation
+         of the lerp+normalize chain may round differently — that is a
+         compiler freedom, not a semantics difference.
+    """
+    from stf_unet_tpu.core.config import DataConfig
+    from stf_unet_tpu.data.transforms import (TrainAugment,
+                                              _warp_bilinear_and_nearest)
+
+    rng = np.random.default_rng(12)
+    b, t, src = 4, 3, 48
+    frames = rng.integers(0, 256, (b, t, src, src)).astype(np.uint8)
+    masks = rng.integers(0, 2, (b, src, src)).astype(np.uint8)
+    # canvas padding: two samples have a smaller valid region (and one is
+    # non-square), exercising the valid_h/valid_w fill path
+    sizes = np.full((b, 2), src, np.int32)
+    sizes[1] = (40, 48)
+    sizes[2] = (37, 31)
+    cfg = DataConfig(base_size=src, crop_size=32)
+
+    # level 1: the isolated warp program, coords straddling every edge
+    chans = jnp.asarray(frames[0], jnp.bfloat16)
+    mask1 = jnp.asarray(masks[0], jnp.bfloat16)
+    gy = jnp.asarray(rng.uniform(-3, src + 2, (32, 32)), jnp.float32)
+    gx = jnp.asarray(rng.uniform(-3, src + 2, (32, 32)), jnp.float32)
+    warp_outs = {}
+    for mode in ("point", "patch", "patch_chw"):
+        monkeypatch.setenv("STF_UNET_WARP_GATHER", mode)
+        f = jax.jit(lambda c, m, y, x: _warp_bilinear_and_nearest(
+            c, m, y, x, jnp.float32(40), jnp.float32(src)))
+        bil, near = f(chans, mask1, gy, gx)
+        warp_outs[mode] = (np.asarray(bil), np.asarray(near))
+    for mode in ("patch", "patch_chw"):
+        np.testing.assert_array_equal(warp_outs[mode][0],
+                                      warp_outs["point"][0])
+        np.testing.assert_array_equal(warp_outs[mode][1],
+                                      warp_outs["point"][1])
+
+    # level 2: the full fused augment program
+    outs = {}
+    for mode in ("point", "patch", "patch_chw"):
+        monkeypatch.setenv("STF_UNET_WARP_GATHER", mode)
+        aug = TrainAugment(cfg)  # fresh instance -> fresh trace
+        img, tgt = aug(jax.random.key(7), frames, masks, sizes)
+        outs[mode] = (np.asarray(img), np.asarray(tgt))
+    for mode in ("patch", "patch_chw"):
+        np.testing.assert_array_equal(outs[mode][1], outs["point"][1])
+        np.testing.assert_allclose(outs[mode][0], outs["point"][0],
+                                   rtol=0, atol=5e-5)
+
+
 def test_cache_ram_epochs_identical_to_decode(synthetic_root):
     """cache_ram: epoch 0 (decode+populate) and epoch 1+ (pure np.stack
     from cache) yield byte-identical batches to the uncached loader, and

@@ -7,7 +7,14 @@ diffed. Uses the persistent compile cache — repeat runs skip the compiles.
 --check GATES the run: each metric is compared against the most recent
 value in the --out history and the process exits 1 if any regresses by
 more than --tolerance (default 5%) — run at round close so kernel wins
-can't silently rot.
+can't silently rot. Host-link-sensitive metrics (packed val epochs, the
+serving dispatch loop, bench wall-clock) get WIDER per-metric tolerances
+(TOLERANCE_OVERRIDES): their point values ride the axon tunnel's
+session-to-session bandwidth (17.9 vs 10.8 ms/slice packed-val across two
+r4 sessions with zero code change — VERDICT r4 weak 2/8), so the default
+5% would false-trip on link variance. Device-program metrics keep the
+tight default. Packed-val rows additionally record the median of 3 timed
+epochs plus a *_spread key (spread keys are recorded, never gated).
 
 Rows measured (all real-chip, warm, B=16 @ 224² T=8):
   unet_f32_ms / unet_bf16_ms      pure train step (bench.py parity config)
@@ -39,6 +46,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+# Per-metric relative-regression tolerances overriding --tolerance.
+# Rationale per row:
+#   val_epoch_packed*: end-to-end epochs over the host link (pack read +
+#     per-batch uint8 H2D); r4 measured 17.87 vs 10.8 ms/slice across two
+#     sessions of the SAME code. Median-of-3 shrinks but cannot remove
+#     session skew -> 0.35.
+#   serve_*: per-batch dispatch loop, ~11 ms/dispatch tunnel latency is
+#     ~half the serve_int8 figure -> 0.25.
+#   bench_wallclock_s: dominated by compile+executable upload, measured
+#     89-560 s/program across sessions (PERFORMANCE.md r4 §5) -> 0.75;
+#     the gate exists to catch EXTRAS CREEP (adding programs, several
+#     hundred seconds), not link weather.
+TOLERANCE_OVERRIDES = {
+    "val_epoch_packed_ms_per_slice": 0.35,
+    "val_epoch_packed_b8_ms_per_slice": 0.35,
+    "serve_bf16_ms": 0.25,
+    "serve_int8_ms": 0.25,
+    "bench_wallclock_s": 0.75,
+}
 
 
 def _sync(x):
@@ -148,8 +175,8 @@ def main():
     # figure was a higher-tunnel-load session).
     from stf_unet_tpu.utils.benchkit import (measure_fused_rotsplit,
                                              measure_fused_train,
-                                             measure_serving,
-                                             measure_val_epoch_packed)
+                                             measure_serving_both,
+                                             measure_val_epoch_packed_multi)
     row["fused_stflstm_bf16_ms"] = round(
         measure_fused_train(iters=args.iters,
                             model_name="stflstm")["ms_per_step"], 2)
@@ -184,21 +211,27 @@ def main():
         lambda: stepper(evars, eimg, etgt, econf, ecum, ecnt),
         iters=args.iters), 2)
 
-    # Full packed val epoch (decode-free: eval-geometry pack -> evaluate),
-    # flagship, batch 1 — asserts packed==decoded metrics before timing.
+    # Full packed val epochs (decode-free: eval-geometry pack ->
+    # evaluate), flagship, batch 1 + batch 8 (--eval-batch-size 8: full
+    # shape-bucketed batches amortize the ~11 ms/dispatch tunnel tax) —
+    # ONE shared tree/pack/state build, packed==decoded metrics asserted,
+    # median of 3 timed epochs + spread recorded (spread is informational,
+    # never gated; the median is gated at the link-aware 0.35 tolerance).
+    packed = measure_val_epoch_packed_multi(batch_sizes=(1, 8))
     row["val_epoch_packed_ms_per_slice"] = round(
-        measure_val_epoch_packed()["ms_per_slice"], 2)
-    # Batched flavor (--eval-batch-size 8): fixed-shape pack -> full
-    # shape-bucketed batches, amortizing the ~11 ms/dispatch tunnel tax.
+        packed[1]["ms_per_slice"], 2)
+    row["val_epoch_packed_ms_per_slice_spread"] = round(
+        packed[1]["spread_ms_per_slice"], 2)
     row["val_epoch_packed_b8_ms_per_slice"] = round(
-        measure_val_epoch_packed(batch_size=8)["ms_per_slice"], 2)
+        packed[8]["ms_per_slice"], 2)
+    row["val_epoch_packed_b8_ms_per_slice_spread"] = round(
+        packed[8]["spread_ms_per_slice"], 2)
 
     # Serving forwards, flagship @ B16 224²: bf16 and post-training int8
-    # (gates the measured int8 win — VERDICT r3 #6).
-    row["serve_bf16_ms"] = round(
-        measure_serving(int8=False, iters=args.iters)["ms_per_batch"], 2)
-    row["serve_int8_ms"] = round(
-        measure_serving(int8=True, iters=args.iters)["ms_per_batch"], 2)
+    # (gates the measured int8 win — VERDICT r3 #6), shared model build.
+    serving = measure_serving_both(iters=args.iters)
+    row["serve_bf16_ms"] = round(serving["bf16"]["ms_per_batch"], 2)
+    row["serve_int8_ms"] = round(serving["int8"]["ms_per_batch"], 2)
 
     from stf_unet_tpu.core.config import PKConfig
     from stf_unet_tpu.pk.aif import population_aif
@@ -215,6 +248,26 @@ def main():
         jnp.asarray(true[:, 2])))
     row["pk_lm_chunk_ms"] = round(timeit(
         lambda: _lm_fit_chunk(curves, quad, pk_cfg), iters=5), 2)
+
+    # bench.py's own wall-clock (VERDICT r4 #1d: gate extras creep before
+    # the driver's timeout finds it). bench.py writes bench_last.json after
+    # a full run; a run that skipped extras is not comparable, so it is
+    # recorded but not gated.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_path = os.path.join(repo, "bench_last.json")
+    if os.path.exists(last_path):
+        try:
+            with open(last_path) as f:
+                last = json.load(f)
+            if not last.get("extras_skipped"):
+                row["bench_wallclock_s"] = round(
+                    float(last["bench_wallclock_s"]), 1)
+            else:
+                print(f"  bench_wallclock_s not gated: last bench run "
+                      f"skipped extras {last['extras_skipped']}",
+                      file=sys.stderr)
+        except (OSError, KeyError, ValueError) as e:
+            print(f"  bench_last.json unreadable: {e}", file=sys.stderr)
 
     try:
         rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
@@ -242,12 +295,15 @@ def main():
         for k, v in row.items():
             if k not in last or not isinstance(v, (int, float)):
                 continue
+            if k.endswith("_spread"):
+                continue  # informational only, never gated
             old, old_rev = last[k]
+            tol = TOLERANCE_OVERRIDES.get(k, args.tolerance)
             delta = (v - old) / old if old else 0.0
             marker = ""
-            if delta > args.tolerance:
+            if delta > tol:
                 regressions.append(k)
-                marker = "  <-- REGRESSION"
+                marker = f"  <-- REGRESSION (tol {tol * 100:.0f}%)"
             print(f"  {k}: {old} ({old_rev}) -> {v}  "
                   f"{delta * 100:+.1f}%{marker}")
 
@@ -259,7 +315,8 @@ def main():
             f.write(json.dumps(record) + "\n")
 
     if regressions:
-        print(f"perf regression gate FAILED (> {args.tolerance * 100:.0f}%): "
+        print(f"perf regression gate FAILED (per-metric tolerance, default "
+              f"{args.tolerance * 100:.0f}%): "
               f"{', '.join(regressions)} — row NOT appended to {args.out}",
               file=sys.stderr)
         sys.exit(1)

@@ -147,6 +147,86 @@ def bilinear_patch(img, gy, gx):
             + v10 * wy * (1 - wx) + v11 * wy * wx)
 
 
+def _lerp_from_window(patch_hw2x2t, wy, wx):
+    """patch [CROP, CROP, 2, 2, T] -> lerp [T, CROP, CROP]."""
+    v = jnp.moveaxis(patch_hw2x2t, -1, 0)  # [T, CROP, CROP, 2, 2]
+    return (v[..., 0, 0] * (1 - wy) * (1 - wx)
+            + v[..., 0, 1] * (1 - wy) * wx
+            + v[..., 1, 0] * wy * (1 - wx)
+            + v[..., 1, 1] * wy * wx)
+
+
+def bilinear_patch_cm(img, gy, gx):
+    """Channel-minor window gather — transforms.py's `patch` mode: operand
+    [H, W*T], ONE index per output pixel, slice_sizes=(2, 2*T) = two
+    CONTIGUOUS 2T-element runs (unlike bilinear_patch's (T,2,2), whose
+    minor-axis slice of 2 scalarized catastrophically)."""
+    src = jnp.moveaxis(img, 0, -1).reshape(H, W * T)
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = gy - y0
+    wx = gx - x0
+    ys = jnp.clip(y0, 0, H - 2).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    starts = jnp.stack([ys.reshape(-1), (xs * T).reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1))
+    patch = jax.lax.gather(src, starts, dn, slice_sizes=(2, 2 * T))
+    patch = patch.reshape(CROP, CROP, 2, 2, T)
+    return _lerp_from_window(patch, wy[None], wx[None])
+
+
+def bilinear_patch_hwc(img, gy, gx):
+    """Window gather on [H, W, T] with slice_sizes=(2, 2, T): the minor
+    axis is fully covered by the slice (constant offset 0), probing
+    whether full-minor slices escape the small-minor-slice scalarization
+    that killed bilinear_patch."""
+    src = jnp.moveaxis(img, 0, -1)  # [H, W, T]
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = gy - y0
+    wx = gx - x0
+    ys = jnp.clip(y0, 0, H - 2).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    starts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    patch = jax.lax.gather(src, starts, dn, slice_sizes=(2, 2, T))
+    patch = patch.reshape(CROP, CROP, 2, 2, T)
+    return _lerp_from_window(patch, wy[None], wx[None])
+
+
+def bilinear_rowpair(img, gy, gx):
+    """TWO gathers (one per tap row) of (x0, x0+1) pairs on the flattened
+    [T, H*W] layout, slice_sizes=(T, 2): halves the index count vs the
+    production 4-point formulation with a minimal (2-element) minor
+    slice — isolates whether per-index cost or minor-slice width rules."""
+    flat = img.reshape(T, H * W)
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = (gy - y0)[None]
+    wx = (gx - x0)[None]
+    xs = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(1,))
+
+    def row(yy):
+        yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        starts = (yc * W + xs).reshape(-1, 1)
+        pair = jax.lax.gather(flat, starts, dn, slice_sizes=(T, 2))
+        return pair.reshape(CROP, CROP, T, 2)
+
+    p0 = row(y0)
+    p1 = row(y0 + 1)
+    v00 = jnp.moveaxis(p0[..., 0], -1, 0)
+    v01 = jnp.moveaxis(p0[..., 1], -1, 0)
+    v10 = jnp.moveaxis(p1[..., 0], -1, 0)
+    v11 = jnp.moveaxis(p1[..., 1], -1, 0)
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
@@ -173,6 +253,11 @@ def main():
         "flat_u8": bilinear_flat_u8,
         "take": bilinear_take,
         **({"patch": bilinear_patch} if args.with_patch else {}),
+        "patch_cm": bilinear_patch_cm,
+        "patch_cm_bf16": lambda i, y, x: bilinear_patch_cm(
+            i.astype(jnp.bfloat16), y, x).astype(jnp.float32),
+        "patch_hwc": bilinear_patch_hwc,
+        "rowpair": bilinear_rowpair,
         "matmul": bilinear_matmul,
     }
     ref = None
