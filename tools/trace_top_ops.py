@@ -2,7 +2,12 @@
 device time — the xplane-guided workflow that found the r2 CE-gather fix.
 
 Usage: python tools/trace_top_ops.py [--model unet|stflstm] [--amp true]
-       [--batch 16] [--size 224] [--steps 5] [--top 25]
+       [--batch 16] [--size 224] [--steps 5] [--top 25] [--fused]
+
+--fused traces the PRODUCTION fused augment+train program (raw uint8
+frames, in-jit key derivation — the exact single program cli/train
+dispatches per step, same construction as benchkit.measure_fused_train),
+so the attribution covers the augmentation gathers alongside the model.
 
 Parses the jax.profiler xplane.pb with the TSL profiler protos (no
 tensorboard UI needed) and aggregates per-op self time on the device
@@ -69,6 +74,8 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--fused", action="store_true",
+                    help="trace the production fused augment+train program")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace dir instead of capturing")
     args = ap.parse_args()
@@ -78,7 +85,8 @@ def main() -> None:
         import jax
         import jax.numpy as jnp
 
-        from stf_unet_tpu.core.config import ModelConfig, OptimConfig
+        from stf_unet_tpu.core.config import (DataConfig, ModelConfig,
+                                              OptimConfig)
         from stf_unet_tpu.core.dtypes import make_policy
         from stf_unet_tpu.models.registry import create_model
         from stf_unet_tpu.train.loop import make_train_step
@@ -97,16 +105,40 @@ def main() -> None:
         sched = warmup_poly_schedule(1e-3, 100, 100)
         optim = make_optimizer(OptimConfig(), sched)
         state = create_train_state(jax.random.key(0), cfg, optim, x)
-        step = make_train_step(model, optim, sched, 2)
-        state, loss, _ = step(state, x, y)
-        print("compiled; loss", float(loss))
+        if args.fused:
+            from stf_unet_tpu.data.transforms import TrainAugment
+            src = 256
+            frames = jnp.asarray(
+                rng.integers(0, 255, (args.batch, t_steps, src, src)),
+                jnp.uint8)
+            masks = jnp.asarray(
+                rng.integers(0, 2, (args.batch, src, src)), jnp.uint8)
+            sizes = jnp.asarray(np.full((args.batch, 2), src), jnp.int32)
+            aug = TrainAugment(DataConfig(base_size=src,
+                                          crop_size=args.size))
+            fstep = make_train_step(model, optim, sched, 2, augment=aug)
+            root = jax.random.key(0)
+            state, loss, _ = fstep(state, root, 0, 0, frames, masks,
+                                   sizes, None)
+            print("compiled (fused); loss", float(loss))
+            trace_dir = tempfile.mkdtemp(prefix="trace_")
+            with jax.profiler.trace(trace_dir):
+                for i in range(args.steps):
+                    state, loss, _ = fstep(state, root, 1, i, frames,
+                                           masks, sizes, None)
+                float(loss)
+            args.trace_dir = trace_dir
+        else:
+            step = make_train_step(model, optim, sched, 2)
+            state, loss, _ = step(state, x, y)
+            print("compiled; loss", float(loss))
 
-        trace_dir = tempfile.mkdtemp(prefix="trace_")
-        with jax.profiler.trace(trace_dir):
-            for _ in range(args.steps):
-                state, loss, _ = step(state, x, y)
-            float(loss)
-        args.trace_dir = trace_dir
+            trace_dir = tempfile.mkdtemp(prefix="trace_")
+            with jax.profiler.trace(trace_dir):
+                for _ in range(args.steps):
+                    state, loss, _ = step(state, x, y)
+                float(loss)
+            args.trace_dir = trace_dir
 
     pbs = glob.glob(os.path.join(args.trace_dir, "**", "*.xplane.pb"),
                     recursive=True)
