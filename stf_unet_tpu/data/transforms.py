@@ -268,16 +268,29 @@ def _warp_gather_mode() -> str:
                  [Cs, H, W] layout, slice_sizes=(Cs, 2, 2) — measures
                  whether the 2-axis slice lowers as badly as the 2-axis
                  POINT gather did (3.25 s; see _bilinear_gather note).
+      mxu        sidestep the gather unit entirely: the shared-frame
+                 batched path routes through the Pallas one-hot-matmul
+                 warp kernel (ops/pallas/warp_kernel.py) — per output
+                 tile, a dynamic source row-band hit by sparse bilinear
+                 weight matrices on the MXU. Chip A/B (r5 §1): the point
+                 gather is at XLA's formulation floor (26.8 ms), so the
+                 MXU kernel is the only formulation that moves the warp.
+                 Paths the kernel does not cover (per-frame re-roll quirk
+                 mode, elastic offsets, rotation-split, oversized
+                 sources) fall back to point gathers.
 
-    Override with STF_UNET_WARP_GATHER={point,patch,patch_chw}; the
-    default is the mode measured fastest on the production augment
-    program (PERFORMANCE.md round 5) — re-measure when the toolchain
-    moves."""
+    Override with STF_UNET_WARP_GATHER={point,patch,patch_chw,mxu}; the
+    default is `mxu`, the mode measured fastest on the production chip
+    (augment 26.5 -> 6.4 ms, fused UNet step 65.3 -> 44.3 ms, fused
+    flagship 59.2 -> 37.8 ms, PERFORMANCE.md round 5 §2) — re-measure
+    when the toolchain moves. The DEFAULT only engages the kernel on a
+    real TPU backend (_use_mxu_warp); an EXPLICIT env request also runs
+    on CPU via the interpret mode (that is what the test suite does)."""
     import os
-    mode = os.environ.get("STF_UNET_WARP_GATHER", "point")
-    if mode not in ("point", "patch", "patch_chw"):
+    mode = os.environ.get("STF_UNET_WARP_GATHER", "") or "mxu"
+    if mode not in ("point", "patch", "patch_chw", "mxu"):
         raise ValueError(f"STF_UNET_WARP_GATHER={mode!r} not in "
-                         "{'point','patch','patch_chw'}")
+                         "{'point','patch','patch_chw','mxu'}")
     return mode
 
 
@@ -363,7 +376,7 @@ def _warp_bilinear_and_nearest(chans: jax.Array, mask_f: jax.Array,
     stacked = jnp.concatenate([chans, mask_f[None].astype(chans.dtype)],
                               axis=0)
     mode = _warp_gather_mode()
-    if mode != "point" and h >= 2 and w >= 2:
+    if mode in ("patch", "patch_chw") and h >= 2 and w >= 2:
         window_tap, y0, x0 = _patch_window_taps(stacked, gy, gx, mode)
         tap = lambda yy, xx: window_tap(yy, xx, valid_h, valid_w)
         wy = gy - y0
@@ -532,6 +545,10 @@ class TrainAugment:
             jnp.arange(crop, dtype=jnp.float32),
             jnp.arange(crop, dtype=jnp.float32), indexing="ij")
 
+        if self._use_mxu_warp(frames, pk):
+            return self._mxu_batch(keys, frames, masks, sizes, pk,
+                                   grid_y, grid_x)
+
         def one(k, frames_i, mask_i, size_i, pk_i):
             src_h = size_i[0].astype(jnp.float32)
             src_w = size_i[1].astype(jnp.float32)
@@ -610,6 +627,97 @@ class TrainAugment:
         else:
             images, targets = jax.vmap(one)(keys, frames, masks, sizes, pk)
         return images[..., None], targets
+
+    # ------------------------------------------------------------------
+    # MXU warp path (STF_UNET_WARP_GATHER=mxu): the batched Pallas
+    # one-hot-matmul kernel replaces the per-sample tap gathers. Same
+    # key stream, same draws, same epilogue as the vmap path above;
+    # targets are bit-identical, images carry the kernel's documented
+    # ~2^-16-relative lerp-weight profile (tests/test_warp_mxu.py).
+    # ------------------------------------------------------------------
+
+    def _use_mxu_warp(self, frames: jax.Array,
+                      pk: Optional[jax.Array]) -> bool:
+        import os
+        if _warp_gather_mode() != "mxu":
+            return False
+        if not self.cfg.shared_frame_augmentation or self.elastic:
+            return False  # per-frame re-roll / per-pixel offsets: point path
+        if (os.environ.get("STF_UNET_WARP_GATHER", "") != "mxu"
+                and jax.default_backend() != "tpu"):
+            # mxu is the DEFAULT only where it was measured (a real TPU);
+            # on CPU/GPU the interpret-mode kernel would be slower than
+            # the gathers, so the default quietly keeps the point path —
+            # an explicit env request still forces the kernel (tests).
+            return False
+        from stf_unet_tpu.ops.pallas.warp_kernel import mxu_warp_supported
+        h, w = frames.shape[-2], frames.shape[-1]
+        cs = frames.shape[1] + (pk.shape[1] if pk is not None else 0) + 1
+        return mxu_warp_supported(cs, h, w, *self._mxu_bounds(h))
+
+    def _mxu_bounds(self, src_h: int) -> Tuple[float, float]:
+        """Static slope bounds of the affine family for the band size:
+        inverse-scale ≤ canvas/min_resize (ref:train.py:59's 0.5 floor),
+        |sin| ≤ sin(max rotation)."""
+        import math
+        max_inv = src_h / float(self.min_size)
+        sin_b = (math.sin(math.radians(min(abs(self.cfg.rotate_degrees),
+                                           90.0)))
+                 if self.cfg.rotate_prob > 0.0 else 0.0)
+        return max_inv, sin_b
+
+    def _mxu_batch(self, keys, frames, masks, sizes, pk, grid_y, grid_x):
+        from stf_unet_tpu.ops.pallas.warp_kernel import (
+            warp_bilinear_nearest_mxu)
+        crop = self.crop
+
+        def grids_one(k, size_i):
+            # EXACT key handling of one(): the extended split happens
+            # before the draw, so every drawn parameter matches the
+            # gather path bit for bit.
+            if self.extended:
+                k, _k_el, k_ph = jax.random.split(k, 3)
+            else:
+                k_ph = k  # unused
+            src_h = size_i[0].astype(jnp.float32)
+            src_w = size_i[1].astype(jnp.float32)
+            params = _sample_params(
+                k, self.min_size, self.max_size, self.cfg.hflip_prob,
+                self.cfg.vflip_prob, self.cfg.rotate_prob,
+                self.cfg.rotate_degrees, crop, src_h, src_w)
+            gy, gx = _build_affine(*params)(grid_y, grid_x)
+            return gy, gx, k_ph
+
+        gys, gxs, kphs = jax.vmap(grids_one)(keys, sizes)
+        nch = frames.shape[1]
+        raw = frames if pk is None else jnp.concatenate([frames, pk], axis=1)
+        stacked = jnp.concatenate([raw, masks[:, None]], axis=1)
+        max_inv, sin_b = self._mxu_bounds(frames.shape[-2])
+        # Fold the /255 + normalize into the kernel's epilogue (an XLA
+        # pass re-reading the warped batch costs real milliseconds);
+        # photometric jitter needs raw [0,1] values, so that path folds
+        # only the /255 and normalizes after the jitter.
+        if self.photometric:
+            alpha, beta = 1.0 / 255.0, 0.0
+        else:
+            alpha = 1.0 / (255.0 * self.cfg.std)
+            beta = -self.cfg.mean / self.cfg.std
+        bil, near = warp_bilinear_nearest_mxu(
+            stacked, gys, gxs, sizes[:, 0], sizes[:, 1],
+            max_inv_scale=max_inv, sin_bound=sin_b,
+            alpha=alpha, beta=beta,
+            interpret=jax.default_backend() != "tpu")
+        warped = bil[:, :nch]
+        if self.photometric:
+            warped = jax.vmap(
+                lambda kk, v: _photometric(kk, v, self.cfg))(kphs, warped)
+            warped = (warped - self.cfg.mean) / self.cfg.std
+        if pk is not None:
+            pk_w = bil[:, nch:]
+            if self.photometric:  # kernel left PK at [0,1]; mask untouched
+                pk_w = (pk_w - self.cfg.mean) / self.cfg.std
+            warped = jnp.concatenate([warped, pk_w], axis=1)
+        return warped[..., None], near.astype(jnp.int32)
 
     # ------------------------------------------------------------------
     # Rotation-probability split (p(rotate)=0.5, ref:transforms.py:137-157:
