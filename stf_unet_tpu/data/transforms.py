@@ -24,6 +24,7 @@ Normalization: x/255 -> (x - mean)/std with the BreaDM stats
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple
 
@@ -292,6 +293,24 @@ def _warp_gather_mode() -> str:
         raise ValueError(f"STF_UNET_WARP_GATHER={mode!r} not in "
                          "{'point','patch','patch_chw','mxu'}")
     return mode
+
+
+@contextlib.contextmanager
+def force_warp_mode(mode: str):
+    """Temporarily pin STF_UNET_WARP_GATHER (restoring the previous value,
+    including unset) — the shared helper for tools/dryruns that A/B warp
+    modes; the mode is read at TRACE time, so build the TrainAugment /
+    jitted program INSIDE the context."""
+    import os
+    prev = os.environ.get("STF_UNET_WARP_GATHER")
+    os.environ["STF_UNET_WARP_GATHER"] = mode
+    try:
+        yield
+    finally:
+        if prev is None:
+            os.environ.pop("STF_UNET_WARP_GATHER", None)
+        else:
+            os.environ["STF_UNET_WARP_GATHER"] = prev
 
 
 def _patch_window_taps(stacked: jax.Array, gy: jax.Array, gx: jax.Array,

@@ -90,7 +90,14 @@ def band_rows(tile_h: int, tile_w: int, max_inv_scale: float,
     spread = max_inv_scale * ((tile_h - 1) + sin_bound * (tile_w - 1))
     band = int(math.ceil(spread)) + 3 + 7
     band = ((band + 7) // 8) * 8
-    return min(band, h)
+    band = min(band, h)
+    if band < h:
+        # The upper clip bound h-band must itself survive the align-down:
+        # extend the band by the misalignment so ys = align8(h-band_eff)
+        # == h-band_eff still covers rows through h-1 (review finding r5:
+        # with h%8 != 0 the plain clip dropped up to 7 bottom rows' taps).
+        band = min(band + ((h - band) % 8), h)
+    return band
 
 
 def mxu_warp_supported(cs: int, h: int, w: int,
@@ -98,6 +105,13 @@ def mxu_warp_supported(cs: int, h: int, w: int,
     """The kernel wants the whole [Cs, H, W] bf16 source VMEM-resident and
     a sane band; anything larger falls back to the XLA gather path."""
     if cs * h * w * 2 > _VMEM_IMG_BUDGET:
+        return False
+    if h % 8 != 0 and band_rows(TILE_H, TILE_W, max_inv_scale,
+                                sin_bound, h) < h:
+        # Correct for such shapes via the band_rows extension, but the
+        # non-multiple-of-8 band SIZE is unverified against Mosaic on
+        # real hardware (production canvases are multiples of 32); the
+        # router keeps the gather path until a chip session proves it.
         return False
     return band_rows(TILE_H, TILE_W, max_inv_scale, sin_bound, h) <= 256
 
@@ -285,7 +299,8 @@ def warp_bilinear_nearest_mxu(stacked: jax.Array, gy: jax.Array,
                               max_inv_scale: float, sin_bound: float,
                               fill: float = 0.0,
                               alpha: float = 1.0, beta: float = 0.0,
-                              interpret: bool = False
+                              interpret: bool = False,
+                              partitioned: "bool | None" = None
                               ) -> Tuple[jax.Array, jax.Array]:
     """Batched fused warp: bilinear-sample the first Cs-1 channels of
     `stacked` [B, Cs, H, W] AND nearest-sample the LAST channel (the
@@ -328,7 +343,9 @@ def warp_bilinear_nearest_mxu(stacked: jax.Array, gy: jax.Array,
     valid = jnp.stack([valid_h, valid_w], axis=-1).astype(jnp.float32)
     img = stacked.astype(jnp.bfloat16)
 
-    if len(jax.devices()) > 1:
+    if partitioned is None:  # auto: wrap when a mesh could shard the batch
+        partitioned = len(jax.devices()) > 1
+    if partitioned:
         inner = _partitioned_warp(band, h, w, cs, float(fill),
                                   float(alpha), float(beta), interpret)
         bil_flat, near_flat = inner(ys, valid, gy_f, gx_f, img)

@@ -223,3 +223,85 @@ def test_mxu_warp_sharded_matches_single_device():
         bil_s, near_s = jax.jit(run)(*args)
     np.testing.assert_array_equal(np.asarray(near_s), np.asarray(ref_near))
     np.testing.assert_array_equal(np.asarray(bil_s), np.asarray(ref_bil))
+
+
+def test_mxu_kernel_odd_height_band_coverage():
+    """Review-finding regression (r5): with h % 8 != 0 and band < h, the
+    8-aligned band start could land below h - band and silently drop the
+    bottom rows' taps (max error 250/255 before the fix). band_rows now
+    extends the band by the clip-bound misalignment."""
+    rng = np.random.default_rng(17)
+    b, c, h, w, ho, wo = 2, 2, 60, 60, 32, 32
+    stacked = jnp.asarray(rng.integers(0, 256, (b, c + 1, h, w)),
+                          jnp.float32)
+    valid_h = jnp.full((b,), h, jnp.int32)
+    valid_w = jnp.full((b,), w, jnp.int32)
+    # coords pinned to the BOTTOM of the source — the exact region the
+    # unextended band lost
+    gyy, gxx = jnp.meshgrid(jnp.linspace(52.0, 59.5, ho),
+                            jnp.linspace(0.0, 59.0, wo), indexing="ij")
+    gy = jnp.stack([gyy] * b)
+    gx = jnp.stack([gxx] * b)
+
+    bil_ref, near_ref = _gather_oracle(stacked, gy, gx, valid_h, valid_w)
+    bil, near = warp_bilinear_nearest_mxu(
+        stacked, gy, gx, valid_h, valid_w,
+        max_inv_scale=2.0, sin_bound=0.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(near), np.asarray(near_ref))
+    np.testing.assert_allclose(np.asarray(bil), np.asarray(bil_ref),
+                               atol=0.05)
+    # Router policy: h=60 extends to a WHOLE-HEIGHT band (static slice,
+    # Mosaic-safe) so it stays supported; h=100 would need a 60-row
+    # dynamic band (non-multiple-of-8 SIZE, unverified against Mosaic on
+    # hardware) so the router keeps the gather path there.
+    assert mxu_warp_supported(5, 60, 60, 2.0, 0.5)
+    assert not mxu_warp_supported(5, 100, 100, 2.0, 0.5)
+    assert mxu_warp_supported(5, 64, 64, 2.0, 0.5)
+
+
+def test_mxu_direct_branch_matches_partitioned():
+    """The 8-virtual-device test harness makes the auto routing always
+    take the custom_partitioning wrapper; pin the DIRECT single-device
+    branch (what a 1-chip TPU run executes) against it explicitly."""
+    rng = np.random.default_rng(23)
+    b, c, h, w, ho, wo = 2, 3, 48, 48, 32, 32
+    stacked = jnp.asarray(rng.integers(0, 256, (b, c + 1, h, w)),
+                          jnp.float32)
+    valid_h = jnp.full((b,), h, jnp.int32)
+    valid_w = jnp.full((b,), w, jnp.int32)
+    gy, gx = _affine_grids(rng, b, ho, wo, h, w)
+
+    def run(part):
+        return warp_bilinear_nearest_mxu(
+            stacked, gy, gx, valid_h, valid_w, max_inv_scale=2.0,
+            sin_bound=0.5, alpha=1 / 255.0, beta=-0.5, interpret=True,
+            partitioned=part)
+    bil_d, near_d = run(False)
+    bil_p, near_p = run(True)
+    np.testing.assert_array_equal(np.asarray(near_d), np.asarray(near_p))
+    np.testing.assert_array_equal(np.asarray(bil_d), np.asarray(bil_p))
+
+
+def test_mxu_augment_photometric_pk_parity(monkeypatch):
+    """The photometric epilogue split (kernel folds only /255; jitter then
+    normalize outside; PK channels renormalized separately) vs the point
+    path — the most intricate epilogue logic in the mxu branch."""
+    cfg = DataConfig(base_size=48, crop_size=32, brightness=0.3,
+                     contrast=0.2, gamma_jitter=0.1, noise_std=0.01)
+    rng = np.random.default_rng(31)
+    b, t, src = 3, 3, 48
+    frames = jnp.asarray(rng.integers(0, 256, (b, t, src, src)), jnp.uint8)
+    masks = jnp.asarray(rng.integers(0, 2, (b, src, src)), jnp.uint8)
+    pk = jnp.asarray(rng.integers(0, 256, (b, 3, src, src)), jnp.uint8)
+    sizes = jnp.asarray(np.full((b, 2), src, np.int32))
+    key = jax.random.key(13)
+
+    monkeypatch.setenv("STF_UNET_WARP_GATHER", "point")
+    img_pt, tgt_pt = T.TrainAugment(cfg)(key, frames, masks, sizes, pk)
+    monkeypatch.setenv("STF_UNET_WARP_GATHER", "mxu")
+    aug = T.TrainAugment(cfg)
+    assert aug.photometric and aug._use_mxu_warp(frames, pk)
+    img_mx, tgt_mx = aug(key, frames, masks, sizes, pk)
+    np.testing.assert_array_equal(np.asarray(tgt_mx), np.asarray(tgt_pt))
+    np.testing.assert_allclose(np.asarray(img_mx), np.asarray(img_pt),
+                               atol=1.5e-3)

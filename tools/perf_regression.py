@@ -147,18 +147,12 @@ def main():
     # The XLA point-gather augment program, pinned regardless of the
     # production default (mxu Pallas kernel from r5): keeps the gather
     # floor visible so a toolchain move in EITHER lowering shows up.
-    _mode0 = os.environ.get("STF_UNET_WARP_GATHER")
-    os.environ["STF_UNET_WARP_GATHER"] = "point"
-    try:
+    from stf_unet_tpu.data.transforms import force_warp_mode
+    with force_warp_mode("point"):
         aug_pt = TrainAugment(DataConfig(base_size=SRC, crop_size=CROP))
         row["augment_point_ms"] = round(timeit(
             lambda k: aug_pt(k, frames, masks, sizes), iters=args.iters,
             key_arg=True), 2)
-    finally:
-        if _mode0 is None:
-            os.environ.pop("STF_UNET_WARP_GATHER", None)
-        else:
-            os.environ["STF_UNET_WARP_GATHER"] = _mode0
 
     policy = make_policy(True)
     cfg = ModelConfig(model="unet", num_classes=1, time_steps=T)

@@ -85,6 +85,10 @@ def main():
     #    inputs by reusing the wrapper twice with identity-ish grids is
     #    not separable; instead time the glue alone (transposes + ys map)
     def glue(s, y, x):
+        # mirrors the production wrapper's pre-kernel glue EXACTLY,
+        # including the lane-major (…, 1, P) grid layout — a (…, P, 1)
+        # mimic would time the trailing-unit-dim relayouts the r5
+        # analysis showed are pathological, not the real glue
         from stf_unet_tpu.ops.pallas.warp_kernel import TILE_H, TILE_W, band_rows
         bsz = s.shape[0]
         ni, nj = HO // TILE_H, WO // TILE_W
@@ -92,9 +96,11 @@ def main():
         gy_t = y.reshape(bsz, ni, TILE_H, nj, TILE_W).transpose(0, 1, 3, 2, 4)
         ys = (jnp.clip(jnp.floor(gy_t.min(axis=(3, 4))).astype(jnp.int32),
                        0, H - band) & ~7)
-        return (gy_t.reshape(bsz, ni * nj, TILE_H * TILE_W, 1),
+        return (gy_t.reshape(bsz, ni * nj, 1, TILE_H * TILE_W),
                 ys, s.astype(jnp.bfloat16))
-    print(f"wrapper glue alone    {timeit(jax.jit(glue), stacked, gy, gx):7.2f} ms",
+
+    jglue = jax.jit(glue)
+    print(f"wrapper glue alone    {timeit(jglue, stacked, gy, gx):7.2f} ms",
           flush=True)
 
     # 4/5/6: the FULL TrainAugment in both modes IN THIS SESSION, plus the
@@ -105,9 +111,10 @@ def main():
     masks = jnp.asarray(rng.integers(0, 2, (B, H, W)), jnp.uint8)
     sizes = jnp.asarray(np.full((B, 2), H), jnp.int32)
     for mode in ("point", "mxu"):
-        os.environ["STF_UNET_WARP_GATHER"] = mode
-        aug = T.TrainAugment(DataConfig(base_size=H, crop_size=HO))
-        ms = timeit(lambda k=jax.random.key(0): aug(k, frames, masks, sizes))
+        with T.force_warp_mode(mode):
+            aug = T.TrainAugment(DataConfig(base_size=H, crop_size=HO))
+            ms = timeit(lambda k=jax.random.key(0):
+                        aug(k, frames, masks, sizes))
         print(f"full augment {mode:6s}   {ms:7.2f} ms", flush=True)
 
     aug = T.TrainAugment(DataConfig(base_size=H, crop_size=HO))
@@ -149,14 +156,14 @@ def main():
         import glob
         import tempfile
         trace_dir = tempfile.mkdtemp(prefix="warptrace_")
-        os.environ["STF_UNET_WARP_GATHER"] = "mxu"
-        aug2 = T.TrainAugment(DataConfig(base_size=H, crop_size=HO))
-        out = aug2(jax.random.key(0), frames, masks, sizes)
-        sync(out[0])
-        with jax.profiler.trace(trace_dir):
-            for i in range(5):
-                out = aug2(jax.random.key(i), frames, masks, sizes)
+        with T.force_warp_mode("mxu"):
+            aug2 = T.TrainAugment(DataConfig(base_size=H, crop_size=HO))
+            out = aug2(jax.random.key(0), frames, masks, sizes)
             sync(out[0])
+            with jax.profiler.trace(trace_dir):
+                for i in range(5):
+                    out = aug2(jax.random.key(i), frames, masks, sizes)
+                sync(out[0])
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from trace_top_ops import parse_xplane
         pbs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),

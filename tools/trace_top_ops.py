@@ -105,6 +105,10 @@ def main() -> None:
         sched = warmup_poly_schedule(1e-3, 100, 100)
         optim = make_optimizer(OptimConfig(), sched)
         state = create_train_state(jax.random.key(0), cfg, optim, x)
+        # One shared capture block for both modes (the scalar-sync
+        # convention must stay identical — float(loss) materialization,
+        # not block_until_ready, on the tunneled platform): each branch
+        # contributes only a run_step(i) closure.
         if args.fused:
             from stf_unet_tpu.data.transforms import TrainAugment
             src = 256
@@ -118,27 +122,27 @@ def main() -> None:
                                           crop_size=args.size))
             fstep = make_train_step(model, optim, sched, 2, augment=aug)
             root = jax.random.key(0)
-            state, loss, _ = fstep(state, root, 0, 0, frames, masks,
-                                   sizes, None)
-            print("compiled (fused); loss", float(loss))
-            trace_dir = tempfile.mkdtemp(prefix="trace_")
-            with jax.profiler.trace(trace_dir):
-                for i in range(args.steps):
-                    state, loss, _ = fstep(state, root, 1, i, frames,
-                                           masks, sizes, None)
-                float(loss)
-            args.trace_dir = trace_dir
+
+            def run_step(i, box={"s": state}):
+                box["s"], loss, _ = fstep(box["s"], root, 1, i, frames,
+                                          masks, sizes, None)
+                return loss
         else:
             step = make_train_step(model, optim, sched, 2)
-            state, loss, _ = step(state, x, y)
-            print("compiled; loss", float(loss))
 
-            trace_dir = tempfile.mkdtemp(prefix="trace_")
-            with jax.profiler.trace(trace_dir):
-                for _ in range(args.steps):
-                    state, loss, _ = step(state, x, y)
-                float(loss)
-            args.trace_dir = trace_dir
+            def run_step(i, box={"s": state}):
+                box["s"], loss, _ = step(box["s"], x, y)
+                return loss
+
+        loss = run_step(0)
+        print(f"compiled{' (fused)' if args.fused else ''}; loss",
+              float(loss))
+        trace_dir = tempfile.mkdtemp(prefix="trace_")
+        with jax.profiler.trace(trace_dir):
+            for i in range(args.steps):
+                loss = run_step(i + 1)
+            float(loss)
+        args.trace_dir = trace_dir
 
     pbs = glob.glob(os.path.join(args.trace_dir, "**", "*.xplane.pb"),
                     recursive=True)
