@@ -59,12 +59,18 @@ import numpy as np
 #     89-560 s/program across sessions (PERFORMANCE.md r4 §5) -> 0.75;
 #     the gate exists to catch EXTRAS CREEP (adding programs, several
 #     hundred seconds), not link weather.
+#   rotsplit_unet_bf16_ms: the only measured path with a per-step host
+#     CPU-jitted routing call + rot_idx H2D; single windows measured
+#     63-138 ms across r4/r5 sessions with identical code. Now a
+#     median-of-3 (benchkit.measure_fused_rotsplit), still
+#     host-interplay-bound -> 0.35. Retired opt-in path (default off).
 TOLERANCE_OVERRIDES = {
     "val_epoch_packed_ms_per_slice": 0.35,
     "val_epoch_packed_b8_ms_per_slice": 0.35,
     "serve_bf16_ms": 0.25,
     "serve_int8_ms": 0.25,
     "bench_wallclock_s": 0.75,
+    "rotsplit_unet_bf16_ms": 0.35,
 }
 
 
@@ -196,8 +202,10 @@ def main():
     # NOTE: rotation split is default-OFF (loses fused on this toolchain,
     # PERFORMANCE.md r4); the row stays so a toolchain move that flips the
     # balance is visible.
-    row["rotsplit_unet_bf16_ms"] = round(
-        measure_fused_rotsplit(iters=max(args.iters, 20))["ms_per_step"], 2)
+    rotsplit = measure_fused_rotsplit(iters=max(args.iters, 20))
+    row["rotsplit_unet_bf16_ms"] = round(rotsplit["ms_per_step"], 2)
+    row["rotsplit_unet_bf16_ms_spread"] = round(
+        rotsplit["spread_ms_per_step"], 2)
 
     # Flagship batch-1 eval step on raw uint8 inputs — the transfer-lean
     # val-epoch device program (device normalize + forward + confusion/dice).
