@@ -106,13 +106,11 @@ def mxu_warp_supported(cs: int, h: int, w: int,
     a sane band; anything larger falls back to the XLA gather path."""
     if cs * h * w * 2 > _VMEM_IMG_BUDGET:
         return False
-    if h % 8 != 0 and band_rows(TILE_H, TILE_W, max_inv_scale,
-                                sin_bound, h) < h:
-        # Correct for such shapes via the band_rows extension, but the
-        # non-multiple-of-8 band SIZE is unverified against Mosaic on
-        # real hardware (production canvases are multiples of 32); the
-        # router keeps the gather path until a chip session proves it.
-        return False
+    # Odd heights are fine: band_rows extends the band by the clip-bound
+    # misalignment (coverage), and Mosaic accepts non-multiple-of-8 band
+    # SIZES — only the dynamic START needs the multiple-of-8 proof.
+    # Chip-verified (r5): h=100/band=60 compiles and matches the
+    # interpret oracle (nearest bit-equal, bilinear ≤0.002/255).
     return band_rows(TILE_H, TILE_W, max_inv_scale, sin_bound, h) <= 256
 
 

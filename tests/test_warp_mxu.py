@@ -250,12 +250,12 @@ def test_mxu_kernel_odd_height_band_coverage():
     np.testing.assert_array_equal(np.asarray(near), np.asarray(near_ref))
     np.testing.assert_allclose(np.asarray(bil), np.asarray(bil_ref),
                                atol=0.05)
-    # Router policy: h=60 extends to a WHOLE-HEIGHT band (static slice,
-    # Mosaic-safe) so it stays supported; h=100 would need a 60-row
-    # dynamic band (non-multiple-of-8 SIZE, unverified against Mosaic on
-    # hardware) so the router keeps the gather path there.
+    # Router policy: odd heights stay supported — h=60 extends to a
+    # whole-height band, h=100 to a 60-row dynamic band whose
+    # non-multiple-of-8 SIZE was chip-verified against Mosaic in r5
+    # (only the dynamic START needs the multiple-of-8 proof).
     assert mxu_warp_supported(5, 60, 60, 2.0, 0.5)
-    assert not mxu_warp_supported(5, 100, 100, 2.0, 0.5)
+    assert mxu_warp_supported(5, 100, 100, 2.0, 0.5)
     assert mxu_warp_supported(5, 64, 64, 2.0, 0.5)
 
 
